@@ -1,0 +1,156 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic HTML → text extraction + normalization + tokenization.
+  *
+  * Semantics mirror the reference pipeline (NOT its implementation):
+  *   - tag strip with character-reference decoding
+  *     (reference: dataprocess/cleaners.py:9-27, `MLStripper` with
+  *     `convert_charrefs=True` — tags dropped, comments dropped, text data
+  *     concatenated including script/style contents, entities decoded)
+  *   - `cleanString`: strip tags → regex `[^a-zA-Z0-9 \n]+` → "" → lowercase
+  *     (reference: dataprocess/cleaners.py:30-35)
+  *   - doc tokenizer: whitespace split, stopword filter, cap at
+  *     MAX_SENTENCE_DIM=16 tokens (reference: dataprocess/models.py:54-61,
+  *     hparams.py:26)
+  *   - query tokenizer: same cleaning, stopword filter, NO cap
+  *     (reference: dataprocess/cleaners.py:38-41) — the doc/query asymmetry
+  *     is a real reference semantic, preserved here.
+  *
+  * `stripHtml` is the single source of truth for extraction: the synthetic
+  * corpus generator materializes `text` by calling it, so the per-row
+  * invariant "byte-identical extracted text per url" is testable as
+  * `text === stripHtmlUdf(html)` on every row.
+  *
+  * All functions are pure and deterministic — no locale, no wall clock.
+  */
+object TextExtract extends Serializable {
+
+  final val MaxDocTokens = 16
+
+  // ---------------------------------------------------------------------
+  // HTML strip (pure Scala state machine; one pass, no regex backtracking)
+  // ---------------------------------------------------------------------
+
+  private val namedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…"
+  )
+
+  /** Strip tags and comments; decode character references in text nodes.
+    * Unknown/unterminated entities pass through literally (lenient, like
+    * browsers and like Python's HTMLParser in non-strict mode).
+    */
+  def stripHtml(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          // tag, declaration, or PI: skip to closing '>' honoring quotes
+          var j = i + 1
+          var quote: Char = 0
+          var done = false
+          while (j < n && !done) {
+            val cj = html.charAt(j)
+            if (quote != 0) { if (cj == quote) quote = 0 }
+            else if (cj == '"' || cj == '\'') quote = cj
+            else if (cj == '>') done = true
+            j += 1
+          }
+          i = j
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = html.substring(i + 1, semi)
+          val decoded: String =
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try String.valueOf(Integer.parseInt(body.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            } else if (body.startsWith("#")) {
+              try String.valueOf(Integer.parseInt(body.substring(1)).toChar)
+              catch { case _: Exception => null }
+            } else namedEntities.getOrElse(body, null)
+          if (decoded != null) { out.append(decoded); i = semi + 1 }
+          else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** cleanString: strip tags, drop all chars outside [a-zA-Z0-9 \n], lower.
+    * Null/empty pass through unchanged (reference: cleaners.py:31-32). */
+  def cleanString(s: String): String = {
+    if (s == null || s.isEmpty) return s
+    cleanText(stripHtml(s))
+  }
+
+  /** The normalization half of cleanString (no tag strip) — applied to
+    * already-extracted text and to queries. */
+  def cleanText(s: String): String = {
+    if (s == null || s.isEmpty) return s
+    s.replaceAll("[^a-zA-Z0-9 \n]+", "").toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Whitespace split, drop empties, drop stopwords. */
+  private def splitFilter(cleaned: String): Array[String] = {
+    if (cleaned == null) return Array.empty
+    cleaned.split("\\s+").filter(w => w.nonEmpty && !Stopwords.english(w))
+  }
+
+  /** Doc tokenizer: capped at [[MaxDocTokens]] (reference parity for
+    * title-style docs). */
+  def tokenizeDoc(cleaned: String): Array[String] =
+    splitFilter(cleaned).take(MaxDocTokens)
+
+  /** Full-text tokenizer: uncapped (the web-index build path — a 100 TB web
+    * page corpus indexes whole documents, not 16-token titles). */
+  def tokenizeFull(cleaned: String): Array[String] = splitFilter(cleaned)
+
+  /** Query tokenizer: clean + split + stopword filter, uncapped
+    * (reference: cleaners.py:38-41). */
+  def tokenizeQuery(raw: String): Array[String] = splitFilter(cleanText(raw))
+
+  // ---------------------------------------------------------------------
+  // Column forms. Everything except the tag-strip state machine stays in
+  // built-in (codegen'd) expressions; the stripper is the one genuinely
+  // custom scalar and is registered once per session as a deterministic UDF.
+  // ---------------------------------------------------------------------
+
+  /** html binary column → extracted text column (the one custom scalar;
+    * deterministic, so Catalyst may collapse/push it freely). */
+  def stripHtmlCol(html: Column): Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) null
+      else stripHtml(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    ).apply(html)
+
+  /** text column → cleaned column (built-in regexp_replace + lower). */
+  def cleanTextCol(text: Column): Column =
+    lower(regexp_replace(text, "[^a-zA-Z0-9 \\n]+", ""))
+
+  private def stopwordsLit: Column = lit(Stopwords.englishSorted)
+
+  /** cleaned text column → token array, stopword-filtered, optionally capped.
+    * Pure built-ins: split + filter + slice → whole-stage codegen. */
+  def tokensCol(cleaned: Column, cap: Option[Int]): Column = {
+    val toks = filter(
+      split(cleaned, "\\s+"),
+      t => t =!= lit("") && !array_contains(stopwordsLit, t))
+    cap.fold(toks)(k => slice(toks, 1, k))
+  }
+
+  def docTokensCol(cleaned: Column): Column = tokensCol(cleaned, Some(MaxDocTokens))
+  def fullTokensCol(cleaned: Column): Column = tokensCol(cleaned, None)
+}

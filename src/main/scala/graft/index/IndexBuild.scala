@@ -1,0 +1,247 @@
+package graft.index
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TextExtract
+import graft.data.Page
+
+/** One (term, doc) pair with the doc's length riding along (so scoring never
+  * needs a doc-side join). */
+case class Posting(term: String, doc_id: Long, tf: Int, dl: Int)
+
+case class SaltedPosting(term: String, salt: Int, doc_id: Long, tf: Int, dl: Int)
+
+/** One compressed posting block: ≤ blockSize docs, sorted by doc_id, with
+  * per-block max-score metadata for block-max WAND.
+  * Structural ancestor: the reference's sorted pickled blocks + sparse
+  * (offset, first-key) directory (reference: index/hash_index.py:113-124,183)
+  * — here the "directory" is ordinary columns (first_doc/last_doc/max_tfsat)
+  * prunable by Parquet min-max stats and plain filters.
+  */
+case class PostingBlock(
+    term: String, salt: Int, block_id: Int,
+    first_doc: Long, last_doc: Long, n_docs: Int,
+    max_tf: Int, max_tfsat: Double,
+    doc_gaps_vb: Array[Byte], tfs_vb: Array[Byte], dls_vb: Array[Byte])
+
+case class DocStat(doc_id: Long, url: String, doclen: Int, shard: Int)
+
+case class TermStat(term: String, df: Long, max_tfsat: Double)
+
+case class ManifestRow(
+    partition_id: Int, rows: Long, blocks: Long, bytes: Long,
+    committed: Boolean, lineage: String)
+
+/** Build parameters. `numShards` is the coarse doc-partitioning of the whole
+  * index (the unit of resumability and of bounded per-term merge state: at
+  * 10^12 docs a 30%-df hot term has ~3·10^11 postings — no single task may
+  * ever see all of them, so the index is doc-sharded first, and within a
+  * shard hot terms are salted and re-merged).
+  */
+case class BuildParams(
+    numShards: Int = 4,
+    blockSize: Int = 128,
+    saltThreshold: Long = 100000L, // df within shard above which a term is salted
+    targetPerSalt: Long = 50000L,  // postings per salt bucket for hot terms
+    nTermBuckets: Int = 16,        // directory partitions of postings by term hash
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    fullText: Boolean = true)      // uncapped tokens (web index) vs 16-token cap
+
+/** Inverted-index construction: the Spark-native rebuild of the reference's
+  * blocked external sort-merge index (reference: index/hash_index.py:24-201)
+  * as a declarative pipeline:
+  *
+  *   pages → extract+tokenize (narrow) → explode → partial hash-agg tf
+  *   (map-side combine) → salted repartition+sort (shuffle 1, skew-bounded)
+  *   → varbyte block encode → per-term segment merge (shuffle 2, compressed
+  *   runs only) → partitioned Parquet postings + doc/term/corpus stats +
+  *   manifest.
+  *
+  * Everything is Dataset/Catalyst — the only imperative code runs inside
+  * `flatMapSortedGroups` (block encode / k-way run merge), which is the
+  * typed-Dataset analog of the reference's `_dump_block` / `heapq.merge`
+  * (hash_index.py:113-124,166-195) with Spark's spilling shuffle underneath.
+  */
+object IndexBuild {
+
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+
+  /** Stable doc id: hash of url, masked non-negative (63 bits — at 10^12
+    * docs the expected collision count is ~5·10^4, i.e. a 5e-8 rate;
+    * acceptable for search, and stable across resumes with no global
+    * counter). */
+  def docIdCol(url: Column): Column =
+    xxhash64(url).bitwiseAND(lit(Long.MaxValue))
+
+  /** pages → (doc_id, url, shard, dl, tokens). Narrow, codegen'd except the
+    * one extraction UDF. */
+  def tokenize(pages: Dataset[Page], p: BuildParams): DataFrame = {
+    val cleaned = TextExtract.cleanTextCol(col("text"))
+    val toks =
+      if (p.fullText) TextExtract.fullTokensCol(cleaned)
+      else TextExtract.docTokensCol(cleaned)
+    pages
+      .withColumn("doc_id", docIdCol(col("url")))
+      .withColumn("shard", pmod(col("doc_id"), lit(p.numShards)).cast("int"))
+      .withColumn("tokens", toks)
+      .withColumn("dl", size(col("tokens")))
+      .filter(col("dl") > 0) // empty-doc filter (reference: main.py:31-33)
+      .select("doc_id", "url", "shard", "dl", "tokens")
+  }
+
+  /** Stats pass: per-doc lengths + corpus aggregates for one shard. */
+  def docStats(tokenized: DataFrame): Dataset[DocStat] = {
+    import tokenized.sparkSession.implicits._
+    tokenized.select($"doc_id", $"url", $"dl".as("doclen"), $"shard").as[DocStat]
+  }
+
+  /** (term, doc_id, tf, dl) via explode + partial+final hash aggregation. */
+  def termFreqs(tokenized: DataFrame): Dataset[Posting] = {
+    import tokenized.sparkSession.implicits._
+    tokenized
+      .select($"doc_id", $"dl", explode($"tokens").as("term"))
+      .groupBy($"term", $"doc_id", $"dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .select($"term", $"doc_id", $"tf", $"dl".as("dl"))
+      .as[Posting]
+  }
+
+  private def tfSat(tf: Int, dl: Int, avgdl: Double, k1: Double, b: Double): Double =
+    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  /** Encode one sorted iterator of postings into blocks of ≤ blockSize. */
+  private def encodeBlocks(term: String, salt: Int, sorted: Iterator[Posting],
+                           blockSize: Int, avgdl: Double, k1: Double, b: Double,
+                           startBlockId: Int = 0): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private var blockId = startBlockId
+      def hasNext: Boolean = sorted.hasNext
+      def next(): PostingBlock = {
+        val docs = new ArrayBuffer[Long](blockSize)
+        val tfs = new ArrayBuffer[Long](blockSize)
+        val dls = new ArrayBuffer[Long](blockSize)
+        var maxTf = 0
+        var maxSat = 0.0
+        while (sorted.hasNext && docs.length < blockSize) {
+          val pp = sorted.next()
+          docs += pp.doc_id; tfs += pp.tf.toLong; dls += pp.dl.toLong
+          if (pp.tf > maxTf) maxTf = pp.tf
+          val s = tfSat(pp.tf, pp.dl, avgdl, k1, b)
+          if (s > maxSat) maxSat = s
+        }
+        val blk = PostingBlock(
+          term, salt, blockId, docs.head, docs.last, docs.length,
+          maxTf, maxSat,
+          VarByte.encodeDeltas(docs.toArray),
+          VarByte.encode(tfs.toArray),
+          VarByte.encode(dls.toArray))
+        blockId += 1
+        blk
+      }
+    }
+
+  /** Decode a block back to postings (sorted by doc_id). */
+  def decodeBlock(blk: PostingBlock): Iterator[Posting] = {
+    val docs = VarByte.decodeDeltas(blk.doc_gaps_vb, blk.n_docs)
+    val tfs = VarByte.decode(blk.tfs_vb, blk.n_docs)
+    val dls = VarByte.decode(blk.dls_vb, blk.n_docs)
+    (0 until blk.n_docs).iterator.map(i =>
+      Posting(blk.term, docs(i), tfs(i).toInt, dls(i).toInt))
+  }
+
+  /** Stage 1: salt hot terms, shuffle on (term, salt), sort by doc_id within
+    * each group, varbyte-encode runs. The salt bounds any single task's
+    * state to ~targetPerSalt postings regardless of term skew. */
+  def saltedRuns(tf: Dataset[Posting], hotDf: Map[String, Long], p: BuildParams,
+                 avgdl: Double): Dataset[PostingBlock] = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val hotSalts: Map[String, Int] = hotDf.map { case (t, df) =>
+      t -> math.max(2, math.ceil(df.toDouble / p.targetPerSalt).toInt)
+    }
+    val bcHot = spark.sparkContext.broadcast(hotSalts)
+    val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
+    val salted = tf.map { pp =>
+      val n = bcHot.value.getOrElse(pp.term, 1)
+      val salt = if (n <= 1) 0
+        else ((Synth63.mix(pp.doc_id) & Long.MaxValue) % n).toInt
+      SaltedPosting(pp.term, salt, pp.doc_id, pp.tf, pp.dl)
+    }
+    salted
+      .groupByKey(sp => (sp.term, sp.salt))
+      .flatMapSortedGroups($"doc_id") { case ((term, salt), it) =>
+        encodeBlocks(term, salt,
+          it.map(sp => Posting(sp.term, sp.doc_id, sp.tf, sp.dl)),
+          blockSize, avgdl, k1, b)
+      }
+  }
+
+  /** Stage 2: per-term segment merge of salted sorted runs into globally
+    * doc_id-ordered blocks — the Catalyst-expressed analog of the
+    * reference's k-way `heapq.merge` (hash_index.py:166-195), operating on
+    * compressed runs (1-3 bytes/posting), so the per-term group state within
+    * a shard stays small even for salted hot terms. */
+  def mergeRuns(runs: Dataset[PostingBlock], p: BuildParams,
+                avgdl: Double): Dataset[PostingBlock] = {
+    val spark = runs.sparkSession
+    import spark.implicits._
+    val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
+    runs
+      .groupByKey(_.term)
+      .flatMapSortedGroups($"salt", $"first_doc") { (term, it) =>
+        // Group compressed blocks into per-salt runs (each run internally
+        // sorted, runs overlap) and heap-merge their decoded streams.
+        val bySalt = mutable.LinkedHashMap.empty[Int, ArrayBuffer[PostingBlock]]
+        it.foreach(b0 => bySalt.getOrElseUpdate(b0.salt, new ArrayBuffer) += b0)
+        if (bySalt.size == 1)
+          // single run: already globally sorted; just renumber blocks
+          bySalt.head._2.iterator.zipWithIndex.map { case (b0, i) =>
+            b0.copy(salt = 0, block_id = i)
+          }
+        else {
+          val streams: Seq[BufferedIterator[Posting]] =
+            bySalt.valuesIterator.map(
+              bs => bs.iterator.flatMap(decodeBlock).buffered).toSeq
+          val heap = mutable.PriorityQueue.empty[(Long, Int)](
+            Ordering.by[(Long, Int), Long](_._1).reverse)
+          streams.zipWithIndex.foreach { case (s, i) =>
+            if (s.hasNext) heap.enqueue((s.head.doc_id, i))
+          }
+          val merged = new Iterator[Posting] {
+            def hasNext: Boolean = heap.nonEmpty
+            def next(): Posting = {
+              val (_, i) = heap.dequeue()
+              val pp = streams(i).next()
+              if (streams(i).hasNext) heap.enqueue((streams(i).head.doc_id, i))
+              pp
+            }
+          }
+          encodeBlocks(term, 0, merged, blockSize, avgdl, k1, b)
+        }
+      }
+  }
+
+  /** Full build of one shard's postings (both stages). hotDf = within-shard
+    * df of terms above the salt threshold. */
+  def buildShardPostings(tf: Dataset[Posting], hotDf: Map[String, Long],
+                         p: BuildParams, avgdl: Double): Dataset[PostingBlock] =
+    mergeRuns(saltedRuns(tf, hotDf, p, avgdl), p, avgdl)
+}
+
+/** Tiny stable 64-bit mixer for salting (splitmix64 finalizer — public
+  * domain constant set; same family as graft.data.Synth.mix64 but kept
+  * local to avoid a data→index dependency). */
+object Synth63 {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}

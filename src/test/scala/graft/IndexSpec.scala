@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.TextExtract
+import graft.data.Synth
+import graft.index.{BuildParams, IndexBuild, InvertedIndex, ManifestRow}
+import graft.query.Bm25
+
+/** End-to-end: build → query → oracle rank-identity → WAND identity →
+  * resume round-trip → salting identity (SURVEY.md §5 plan). */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 1200
+  private val Seed = 42L
+  private val params = BuildParams(numShards = 2, blockSize = 16,
+    saltThreshold = 20, targetPerSalt = 25, nTermBuckets = 8)
+
+  // ---- driver-side brute-force BM25 oracle (independent of the engine's
+  // aggregation/compression path; shares only the tokenizer, which has its
+  // own golden fixtures) ----
+  case class ODoc(docId: Long, tokens: Array[String])
+  lazy val oracleCorpus: Seq[ODoc] = {
+    val urls = (0L until N).map(i => Synth.genRow(Seed, i)).map(_.url)
+    val ids = urls.toDF("url")
+      .select($"url", IndexBuild.docIdCol($"url").as("id"))
+      .as[(String, Long)].collect().toMap
+    (0L until N).flatMap { i =>
+      val p = Synth.genRow(Seed, i)
+      val toks = TextExtract.tokenizeFull(TextExtract.cleanText(p.text))
+      if (toks.isEmpty) None else Some(ODoc(ids(p.url), toks))
+    }
+  }
+  lazy val oracleAvgdl: Double =
+    oracleCorpus.map(_.tokens.length.toLong).sum.toDouble / oracleCorpus.size
+  lazy val oracleDf: Map[String, Long] =
+    oracleCorpus.flatMap(_.tokens.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+
+  def oracleTopk(q: String, k: Int): Seq[(Long, Double)] = {
+    val qts = Bm25.queryTerms(q)
+    val scored = oracleCorpus.flatMap { d =>
+      val score = qts.map { qt =>
+        val tf = d.tokens.count(_ == qt.term)
+        if (tf == 0 || !oracleDf.contains(qt.term)) 0.0
+        else qt.qtf * Bm25.idf(oracleCorpus.size.toLong, oracleDf(qt.term)) *
+          Bm25.tfSat(tf.toDouble, d.tokens.length.toDouble, oracleAvgdl)
+      }.sum
+      if (score > 0) Some((d.docId, score)) else None
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  def assertRankIdentical(got: Seq[(Long, Double)], want: Seq[(Long, Double)],
+                          ctx: String): Unit = {
+    assert(got.map(_._1) == want.map(_._1), s"[$ctx] doc ids differ: got=$got want=$want")
+    got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) <= 1e-9 * math.max(1.0, math.abs(ws)),
+        s"[$ctx] score drift: got=$gs want=$ws")
+    }
+  }
+
+  lazy val indexDir: String = {
+    val dir = tmpDir("idx")
+    val built = InvertedIndex.build(spark, Synth.pages(spark, N, Seed, 4), dir, params)
+    assert(built == 2)
+    dir
+  }
+
+  test("extraction invariant: text == stripHtml(html) for every row") {
+    val pages = Synth.pages(spark, 500, Seed, 4)
+    val bad = pages.toDF()
+      .withColumn("ext", TextExtract.stripHtmlCol($"html"))
+      .filter($"ext" =!= $"text").count()
+    assert(bad == 0)
+  }
+
+  test("build commits all shards; rebuild is a no-op (resume contract)") {
+    indexDir // force
+    val manifest = spark.read.parquet(s"$indexDir/manifest")
+    assert(manifest.filter($"committed").count() == 2)
+    assert(InvertedIndex.build(spark, Synth.pages(spark, N, Seed, 4), indexDir, params) == 0)
+    // manifest carries metrics + lineage
+    val row = manifest.head()
+    assert(row.getAs[Long]("rows") > 0 && row.getAs[Long]("bytes") > 0)
+    assert(row.getAs[String]("lineage").contains("shard="))
+  }
+
+  test("planted reference titles are retrieved as top hit") {
+    val h = Bm25.open(spark, indexDir, params.nTermBuckets)
+    // distinctive planted docs: their tokens don't collide with the w<k> vocab
+    for ((q, seq) <- Seq(("numpy python matrix", 8L), ("maple story good game", 9L))) {
+      val url = Synth.genRow(Seed, seq).url
+      val docId = Seq(url).toDF("url")
+        .select(IndexBuild.docIdCol($"url")).as[Long].head()
+      val top = h.topk(q, 3).as[(Long, Double)].collect().toSeq
+      assert(top.head._1 == docId, s"query '$q' top hit: $top, want $docId")
+    }
+  }
+
+  test("rank-identical top-k vs brute-force oracle on the reference query set") {
+    val h = Bm25.open(spark, indexDir, params.nTermBuckets)
+    for (q <- Synth.refTitles) {
+      val got = h.topk(q, 10).as[(Long, Double)].collect().toSeq
+      assertRankIdentical(got, oracleTopk(q, 10), s"topk '$q'")
+    }
+  }
+
+  test("WAND path is result-identical to exhaustive path") {
+    val h = Bm25.open(spark, indexDir, params.nTermBuckets)
+    val queries = Synth.refTitles.toSeq ++ Seq(
+      "w1 w2 w3", "the0 w5 w40", "w1 the0", "w7", "w100 w200 w3000",
+      "w1 w1 w2" /* duplicate query term → qtf=2 */)
+    for (q <- queries; k <- Seq(1, 5, 10)) {
+      val ex = h.topk(q, k).as[(Long, Double)].collect().toSeq
+      val wd = h.topkWand(q, k).as[(Long, Double)].collect().toSeq
+      assertRankIdentical(wd, ex, s"wand '$q' k=$k")
+    }
+  }
+
+  test("resume from checkpoint: partial manifest → identical final index") {
+    indexDir // force full build first
+    val dir2 = tmpDir("idx-resume")
+    // simulate a build killed after shard 0: copy shard 0 outputs + its
+    // manifest row only
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    for (sub <- Seq("postings", "termstats", "docstats", "corpus")) {
+      copyTree(Paths.get(s"$indexDir/$sub/shard=0"),
+        Paths.get(s"$dir2/$sub/shard=0"))
+    }
+    val m0 = spark.read.parquet(s"$indexDir/manifest")
+      .filter($"partition_id" === 0)
+    m0.write.parquet(s"$dir2/manifest")
+    assert(InvertedIndex.committedShards(spark, dir2) == Set(0))
+
+    val built = InvertedIndex.build(spark, Synth.pages(spark, N, Seed, 4), dir2, params)
+    assert(built == 1)
+    val h1 = Bm25.open(spark, indexDir, params.nTermBuckets)
+    val h2 = Bm25.open(spark, dir2, params.nTermBuckets)
+    assert(h1.nDocs == h2.nDocs && math.abs(h1.avgdl - h2.avgdl) < 1e-12)
+    for (q <- Synth.refTitles.take(4)) {
+      val a = h1.topk(q, 10).as[(Long, Double)].collect().toSeq
+      val b = h2.topk(q, 10).as[(Long, Double)].collect().toSeq
+      assertRankIdentical(b, a, s"resume '$q'")
+    }
+  }
+
+  test("salted build produces identical postings to unsalted") {
+    val nSmall = 400
+    val pagesDs = Synth.pages(spark, nSmall, Seed, 4)
+    val dirSalted = tmpDir("idx-salt")
+    val dirPlain = tmpDir("idx-plain")
+    val pSalt = BuildParams(numShards = 1, blockSize = 8,
+      saltThreshold = 5, targetPerSalt = 10, nTermBuckets = 4)
+    val pPlain = pSalt.copy(saltThreshold = Long.MaxValue)
+    InvertedIndex.build(spark, pagesDs, dirSalted, pSalt)
+    InvertedIndex.build(spark, pagesDs, dirPlain, pPlain)
+
+    def decoded(dir: String): Set[(String, Long, Int, Int)] =
+      InvertedIndex.postings(spark, dir)
+        .flatMap(IndexBuild.decodeBlock _)
+        .as[(String, Long, Int, Int)].collect().toSet
+
+    assert(decoded(dirSalted) == decoded(dirPlain))
+    // block structure after the segment merge must also be identical:
+    // same (term, block_id, first_doc, last_doc, n_docs) everywhere
+    def blockMeta(dir: String) =
+      InvertedIndex.postings(spark, dir)
+        .select($"term", $"block_id", $"first_doc", $"last_doc", $"n_docs")
+        .as[(String, Int, Long, Long, Int)].collect().toSet
+    assert(blockMeta(dirSalted) == blockMeta(dirPlain))
+  }
+}
