@@ -1,13 +1,298 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.Synth
+import graft.index.{BuildParams, IndexBuild, InvertedIndex}
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.query.Bm25
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+  *
+  * Every SQL-expressible operator has a DuckDB oracle in [[oracleSql]] with
+  * byte-matching column names and deterministic values (scores/ratios are
+  * rounded to 6 dp *before* any ranking; ranking ties break on the id).
+  * The inverted-index/BM25 flagship path over the synthetic pages corpus is
+  * exercised by the rows-only q_pages_* entries (its correctness gate is the
+  * in-repo brute-force-oracle test suite, IndexSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** Flagship: build (resume-aware) a small synthetic web-page index and
+    * answer a reference query via block-max WAND BM25. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_entry_idx"
+    InvertedIndex.build(spark, Synth.pages(spark, 2000, 42L), dir,
+      BuildParams(numShards = 2))
+    val h = Bm25.open(spark, dir)
+    h.withUrls(h.topkWand("regex pull substring tags string", 10))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis -------------------------------------------------
+    "q_token_count" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+    "q_tf" -> ((s, d) => TextOps.termFreq(docs(s, d))),
+    "q_df" -> ((s, d) => TextOps.docFreq(docs(s, d))),
+    "q_corpus_stats" -> ((s, d) => TextOps.corpusStats(docs(s, d))),
+    "q_bm25_topk" -> ((s, d) =>
+      TextOps.bm25TopK(docs(s, d), Seq("data", "join", "fast", "window"), 20)),
+    "q_langid" -> ((s, d) => TextOps.langId(docs(s, d))),
+    "q_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    // --- dedup ----------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "q_minhash" -> ((s, d) => Dedup.minhash(docs(s, d))),
+    "q_lsh_bands" -> ((s, d) => Dedup.lshBands(docs(s, d))),
+    "q_lsh_pairs" -> ((s, d) => Dedup.lshPairs(docs(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
+    "q_fingerprint" -> ((s, d) => Dedup.fingerprint(docs(s, d))),
+    // --- similarity search ---------------------------------------------
+    "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(emb(s, d))),
+    "q_ann_buckets" -> ((s, d) => Similarity.annBuckets(emb(s, d))),
+    "q_ann_topk" -> ((s, d) => Similarity.annTopK(emb(s, d))),
+    "q_embed_neardups" -> ((s, d) => Similarity.embeddingNearDups(emb(s, d), 0.2)),
+    // --- events (windowed aggregation + ranking window) ------------------
+    "q_events_window" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"),
+        floor(unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6 / 300)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))),
+    "q_events_topuser" -> ((s, d) => {
+      val sdf = events(s, d).groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum(col("value")), 6).as("total"))
+      sdf.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("total").desc, col("user_id").asc)))
+        .filter(col("rn") === 1).select("event_type", "user_id", "total")
+    }),
+    // --- inverted-index flagship over synthetic pages (rows-only; the
+    //     DuckDB-independent oracle is IndexSpec's brute-force BM25) -------
+    "q_pages_postings" -> ((s, _) => {
+      val p = BuildParams(numShards = 1, saltThreshold = 50, targetPerSalt = 100)
+      val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), p)
+      val stats = tok.agg(count(lit(1)), avg(col("dl"))).collect()(0)
+      val avgdl = stats.getDouble(1)
+      val tf = IndexBuild.termFreqs(tok)
+      val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > p.saltThreshold)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      IndexBuild.buildShardPostings(tf, hot, p, avgdl)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("n_docs")).as("n_postings"))
+    }),
+    "q_pages_bm25" -> ((s, _) => {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_pages_idx"
+      InvertedIndex.build(s, Synth.pages(s, 1000, 42L), dir,
+        BuildParams(numShards = 2))
+      val h = Bm25.open(s, dir)
+      h.withUrls(h.topkWand("determine user timezone", 10))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL (validated against DuckDB v1.0; same column names,
+  // same rounding, same tie-breaks as the Spark twins above).
+  // ------------------------------------------------------------------
+
+  private val TOKS =
+    """toks AS (
+      |  SELECT doc_id, term, ord FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |           generate_subscripts(string_split(text, ' '), 1) AS ord
+      |    FROM documents)
+      |  WHERE term <> '')""".stripMargin
+
+  private val MH =
+    """mh AS (
+      |  SELECT t.doc_id, s.seed,
+      |         min(substr(md5(s.seed::VARCHAR || ':' || t.term), 1, 16)) AS minhash
+      |  FROM toks t CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val BANDS =
+    """bands AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+      |  FROM mh GROUP BY 1, 2)""".stripMargin
+
+  private val SH =
+    """sh AS (
+      |  SELECT DISTINCT t1.doc_id, t1.term || ' ' || t2.term || ' ' || t3.term AS shingle
+      |  FROM toks t1
+      |  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.ord = t1.ord + 1
+      |  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.ord = t1.ord + 2)""".stripMargin
+
+  private val E =
+    """e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+      |       generate_subscripts(embedding, 1) AS i FROM embeddings)""".stripMargin
+  private val NRM =
+    "nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM e GROUP BY 1)"
+  private val PL =
+    """pl AS (
+      |  SELECT j, i, strpos('0123456789abcdef',
+      |         substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1 - 7.5 AS w
+      |  FROM (SELECT unnest(range(8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS i))""".stripMargin
+  private val BUCK =
+    """bk AS (
+      |  SELECT e.vec_id, pl.j, round(sum(e.x * pl.w), 6) AS d
+      |  FROM e JOIN pl ON pl.i = e.i GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS bucket
+      |  FROM bk GROUP BY 1)""".stripMargin
+
+  private val STOP = "('the','a','of','and','to','in','is','on','for','with')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re
+        |FROM documents""".stripMargin,
+    "q_tf" -> s"WITH $TOKS SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2",
+    "q_df" ->
+      s"""WITH $TOKS,
+         |tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2)
+         |SELECT term, count(*) AS df FROM tf GROUP BY 1""".stripMargin,
+    "q_corpus_stats" ->
+      s"""WITH $TOKS,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1)
+         |SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl""".stripMargin,
+    "q_bm25_topk" ->
+      s"""WITH $TOKS,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('data', 'join', 'fast', 'window') GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |             tf.tf * 2.2 /
+         |             (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY 1)
+         |SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 20""".stripMargin,
+    "q_langid" ->
+      s"""WITH $TOKS,
+         |r AS (SELECT doc_id,
+         |      round(sum(CASE WHEN term IN $STOP THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS en_ratio
+         |      FROM toks GROUP BY 1)
+         |SELECT doc_id, en_ratio,
+         |       CASE WHEN en_ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+         |FROM r""".stripMargin,
+    "q_quality" ->
+      s"""WITH $TOKS,
+         |agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct,
+         |        round(avg(length(term)), 6) AS avg_token_len,
+         |        sum(CASE WHEN term IN $STOP THEN 1 ELSE 0 END) * 1.0 / count(*) AS sr,
+         |        count(DISTINCT term) * 1.0 / count(*) AS tr
+         |        FROM toks GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_distinct, avg_token_len,
+         |       round(sr, 6) AS stop_ratio, round(tr, 6) AS ttr,
+         |       round(0.4 * tr + 0.3 * (1.0 - sr) + 0.3 * least(1.0, n_tokens / 100.0), 6) AS quality
+         |FROM agg""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id FROM documents GROUP BY 1",
+    "q_minhash" -> s"WITH $TOKS, $MH SELECT doc_id, seed, minhash FROM mh",
+    "q_lsh_bands" -> s"WITH $TOKS, $MH, $BANDS SELECT doc_id, band, band_hash FROM bands",
+    "q_lsh_pairs" ->
+      s"""WITH $TOKS, $MH, $BANDS
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a
+         |JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+         |            AND a.doc_id < b.doc_id""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $TOKS,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |h AS (SELECT doc_id, tf, md5(term) AS hx FROM tf),
+         |pj AS (SELECT p.p, j.j FROM (SELECT unnest(range(1, 9)) AS p) p
+         |       CROSS JOIN (SELECT unnest(range(4)) AS j) j),
+         |votes AS (
+         |  SELECT doc_id, ((p - 1) * 4 + j)::INT AS bit,
+         |         sum(tf * ((((strpos('0123456789abcdef', substr(hx, p::INT, 1)) - 1)
+         |             >> (j::INT)) & 1) * 2 - 1)) AS s
+         |  FROM h CROSS JOIN pj GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+         |FROM votes GROUP BY 1""".stripMargin,
+    "q_jaccard_pairs" ->
+      s"""WITH $TOKS, $SH,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH $TOKS, $SH
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY 1""".stripMargin,
+    "q_cosine_topk" ->
+      s"""WITH $E, $NRM,
+         |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cid, sum(q.x * c.x) AS dot
+         |         FROM e q JOIN e c ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT query_id, cid, round(dot / (nq.nv * nc.nv), 6) AS cos
+         |           FROM dots JOIN nrm nq ON nq.vec_id = query_id
+         |                     JOIN nrm nc ON nc.vec_id = cid),
+         |ranked AS (SELECT query_id, cid, cos,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT query_id, rank, cid AS vec_id, cos FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_ann_buckets" -> s"WITH $E, $PL, $BUCK SELECT vec_id, bucket FROM buckets",
+    "q_ann_topk" ->
+      s"""WITH $E, $NRM, $PL, $BUCK,
+         |q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 5),
+         |cand AS (SELECT q.query_id, b.vec_id AS cid FROM q
+         |         JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+         |dots AS (SELECT c.query_id, c.cid, sum(eq.x * ec.x) AS dot
+         |         FROM cand c
+         |         JOIN e eq ON eq.vec_id = c.query_id
+         |         JOIN e ec ON ec.vec_id = c.cid AND ec.i = eq.i
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT query_id, cid, round(dot / (nq.nv * nc.nv), 6) AS cos
+         |           FROM dots JOIN nrm nq ON nq.vec_id = query_id
+         |                     JOIN nrm nc ON nc.vec_id = cid),
+         |ranked AS (SELECT query_id, cid, cos,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT query_id, rank, cid AS vec_id, cos FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_embed_neardups" ->
+      s"""WITH $E, $NRM, $PL, $BUCK,
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |dots AS (SELECT p.vec_a, p.vec_b, sum(ea.x * eb.x) AS dot
+         |         FROM pairs p
+         |         JOIN e ea ON ea.vec_id = p.vec_a
+         |         JOIN e eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+         |         GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, round(dot / (na.nv * nb.nv), 6) AS cos
+         |FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+         |WHERE round(dot / (na.nv * nb.nv), 6) >= 0.2""".stripMargin,
+    "q_events_window" ->
+      """SELECT event_type, (floor(epoch(ts) / 300))::BIGINT AS bucket,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_topuser" ->
+      """WITH s AS (SELECT event_type, user_id, round(sum(value), 6) AS total
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, total,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rn
+        |      FROM s)
+        |SELECT event_type, user_id, total FROM r WHERE rn = 1""".stripMargin
+  )
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), MinHash + LSH banding (shingle → minhash → band →
+  * bucket join), SimHash, and token-shingle Jaccard — each with an exact
+  * DuckDB oracle twin.
+  *
+  * Portable hashing: every hash here is hex MD5 (identical bytes → identical
+  * hex in any engine); minima are taken lexicographically on the hex string,
+  * and numeric digests are derived from hex digits via base-16 conversion,
+  * so no engine-specific hash function leaks into results. In the production
+  * Spark-only path you would swap md5 → xxhash64 (cheaper, codegen'd) — the
+  * relational shape is unchanged.
+  *
+  * Scale notes: everything is groupBy/join on (doc_id | term | shingle |
+  * band_hash) keys — shuffle-partitioned by key, no driver materialization;
+  * LSH banding is exactly the "bucket join beats all-pairs" trick that makes
+  * near-dup detection feasible at 10^12 docs (the all-pairs q_jaccard path
+  * is restricted to pairs already sharing a shingle, i.e. an equi-join, not
+  * a cross join).
+  */
+object Dedup {
+
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** Exact dedup groups: content hash → group size + canonical (min) id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5s(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+
+  /** Per-(doc, seed) MinHash: min over tokens of md5(seed:term) hex prefix.
+    * Set semantics are automatic (min over duplicates = min over set). */
+  def minhash(docs: DataFrame, nSeeds: Int = 8): DataFrame =
+    TextOps.tokens(docs)
+      .crossJoin(broadcast(
+        docs.sparkSession.range(nSeeds).toDF("seed")))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(substring(md5s(
+        concat(col("seed").cast("string"), lit(":"), col("term"))), 1, 16))
+        .as("minhash"))
+
+  /** LSH bands over the minhash signature: rows-per-band = 2, band hash =
+    * md5 of the band's minima concatenated in seed order (deterministic via
+    * array_sort on (seed, minhash) structs). */
+  def lshBands(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    minhash(docs, nSeeds)
+      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5s(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash")), ",")).as("band_hash"))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. */
+  def lshPairs(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(docs, nSeeds, rowsPerBand)
+    val a = bands.select(col("band").as("band_a"), col("band_hash").as("bh_a"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("band_hash").as("bh_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** 32-bit SimHash from MD5 hex digits: for hex position p (1..8) and bit
+    * j (0..3), the signed tf-weighted bit vote decides the output bit. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = TextOps.termFreq(docs)
+      .withColumn("hx", md5s(col("term")))
+    val pj = spark.range(1, 9).toDF("p")
+      .crossJoin(spark.range(0, 4).toDF("j"))
+    tf.crossJoin(broadcast(pj))
+      .withColumn("v",
+        conv(col("hx").substr(col("p").cast("int"), lit(1)), 16, 10).cast("int"))
+      .withColumn("bit", ((col("p") - 1) * 4 + col("j")).cast("int"))
+      .withColumn("vote", col("tf") *
+        (expr("shiftright(v, cast(j as int))").bitwiseAND(1) * 2 - 1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Distinct token 3-gram shingles per doc (relational: self-joins on
+    * ordinal — the same shape as the SQL oracle). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val t = TextOps.tokens(docs)
+    val t1 = t.select(col("doc_id"), col("ord"), col("term").as("w1"))
+    val t2 = t.select(col("doc_id").as("d2"), col("ord").as("o2"), col("term").as("w2"))
+    val t3 = t.select(col("doc_id").as("d3"), col("ord").as("o3"), col("term").as("w3"))
+    t1.join(t2, col("doc_id") === col("d2") && col("o2") === col("ord") + 1)
+      .join(t3, col("doc_id") === col("d3") && col("o3") === col("ord") + 2)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs (≥ threshold), via shingle equi-join —
+    * never an all-pairs product. The threshold predicate is a ratio of
+    * integers, so it is bit-deterministic across engines. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(docs)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac_raw", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
+      .filter(col("jac_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
+  }
+
+  /** Document fingerprint: lexicographic min MD5 over the doc's shingles
+    * (a winnowing-style rolling-window fingerprint, window = whole doc). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    shingles(docs).groupBy(col("doc_id"))
+      .agg(min(md5s(col("shingle"))).as("fingerprint"))
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings(vec_id,
+  * embedding: array<float>, label)`).
+  *
+  * - [[cosineTopK]]: brute-force cosine top-k — the exactness baseline.
+  *   The query side is tiny and broadcast; the candidate side streams, dot
+  *   products run inside codegen (`zip_with` + `aggregate`), ranking is
+  *   per-query partial top-k. This is the plan shape that survives scale-up:
+  *   broadcast Q × stream N, no N×N product.
+  * - [[annBuckets]]: random-hyperplane LSH bucketing — the scale path. Each
+  *   vector gets a small integer bucket; ANN probes only its own bucket
+  *   (+ neighbors if recall demands). Hyperplanes are derived from MD5 hex
+  *   digits so the oracle can reproduce them bit-exactly.
+  * - [[annTopK]]: bucketed ANN = bucket equi-join + within-bucket cosine
+  *   top-k.
+  *
+  * Determinism: dots are rounded to 6 dp before any ordering or sign
+  * decision, so float summation order (which differs between engines and
+  * between partitions) never changes a rank or a bucket.
+  */
+object Similarity {
+
+  private def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries),
+    * excluding self. Output: (query_id, rank, vec_id, cos). */
+  def cosineTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) /
+        (norm(col("qv")) * norm(col("v"))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: w(plane j, dim i) =
+    * hexdigit(md5(j:i)) − 7.5 ∈ [−7.5, 7.5]. */
+  def planes(spark: org.apache.spark.sql.SparkSession,
+             nPlanes: Int = 8, dims: Int = 64): DataFrame =
+    spark.range(nPlanes).toDF("j")
+      .crossJoin(spark.range(1, dims + 1).toDF("i"))
+      .withColumn("w",
+        conv(md5(concat(col("j").cast("string"), lit(":"), col("i").cast("string"))
+          .cast("binary")).substr(lit(1), lit(1)), 16, 10).cast("double") - 7.5)
+
+  /** Random-hyperplane LSH bucket per vector: bit j = (round(x·w_j, 6) > 0).
+    * Output: (vec_id, bucket). */
+  def annBuckets(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("x"))
+    e.join(broadcast(planes(emb.sparkSession, nPlanes, dims)), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(round(sum(col("x") * col("w")), 6).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("d") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** Bucketed ANN: per query (vec_id < nQueries), top-k by cosine among
+    * candidates sharing the query's LSH bucket. Scale path: the join is on
+    * bucket (shuffle-partitioned), never all-pairs. */
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val buckets = annBuckets(emb, nPlanes, dims)
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(buckets, "vec_id")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) /
+        (norm(col("qv")) * norm(col("v"))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets (vec analog of
+    * Dedup.lshPairs): pairs in the same bucket with cosine ≥ threshold. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
+                        nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(annBuckets(emb, nPlanes, dims), "vec_id")
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) /
+        (norm(col("va")) * norm(col("vb"))), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}
