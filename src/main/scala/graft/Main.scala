@@ -51,8 +51,44 @@ object Main {
       rows.foreach(r => println(f"  ${r.getAs[Double]("score")}%12.6f  " +
         s"${r.getAs[Long]("doc_id")}  ${r.getAs[String]("url")}"))
       println(f"$verb took $sec%.3f s, ${rows.length} results")
+    case "profile" :: n :: Nil =>
+      // stage-by-stage timing of the build pipeline (no writes)
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val p = BuildParams(numShards = 1)
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      def t[A](name: String)(f: => A): A = {
+        val g0 = gcMs; val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+          f"  (driver-gc ${(gcMs - g0) / 1000.0}%6.1f s)"); r
+      }
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft_profile"
+      val pages = Synth.pages(spark, n.toLong, 42L)
+      t("gen+count")(pages.count())
+      t("tokenize+write")(graft.index.IndexBuild.tokenize(pages, p)
+        .write.mode("overwrite").parquet(s"$scratch/tok"))
+      val tok = spark.read.parquet(s"$scratch/tok")
+      val avgdl = t("avgdl")(tok.agg(avg($"dl")).head.getDouble(0))
+      val toks = tok.select($"shard".cast("int").as("shard"),
+        explode($"tokens").as("term"), $"doc_id", lit(1).as("tf"), $"dl")
+        .as[graft.index.ShardPosting]
+      t("salted-encode+write")(
+        graft.index.IndexBuild.saltedRuns(toks, Map.empty, p, avgdl)
+          .write.mode("overwrite").parquet(s"$scratch/runs"))
+      val runs = spark.read.parquet(s"$scratch/runs")
+        .select($"shard", $"term", $"salt", $"block_id", $"first_doc",
+          $"last_doc", $"n_docs", $"max_tf", $"max_tfsat",
+          $"doc_gaps_vb", $"tfs_vb", $"dls_vb")
+        .as[graft.index.PostingBlock]
+      val merged = graft.index.IndexBuild.mergeRuns(runs, p, avgdl)
+      t("merge+write")(merged.write.mode("overwrite")
+        .parquet(s"$scratch/merged"))
     case _ =>
-      System.err.println("usage: build <dir> <nDocs> [seed] [shards] | query|wand <dir> <k> <terms...>")
+      System.err.println("usage: build <dir> <nDocs> [seed] [shards] | query|wand <dir> <k> <terms...> | profile <nDocs>")
       sys.exit(2)
   }
 }

@@ -73,14 +73,18 @@ object SparkEntry {
           .orderBy(col("total").desc, col("user_id").asc)))
         .filter(col("rn") === 1).select("event_type", "user_id", "total")
     }),
+    // --- multimodal plumbing (rows-only: binary decode is a stub seam) ---
+    "q_multimodal" -> ((s, _) => graft.ops.Multimodal.summary(s, 2000)),
     // --- inverted-index flagship over synthetic pages (rows-only; the
     //     DuckDB-independent oracle is IndexSpec's brute-force BM25) -------
     "q_pages_postings" -> ((s, _) => {
+      import s.implicits._
       val p = BuildParams(numShards = 1, saltThreshold = 50, targetPerSalt = 100)
       val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), p)
       val stats = tok.agg(count(lit(1)), avg(col("dl"))).collect()(0)
       val avgdl = stats.getDouble(1)
       val tf = IndexBuild.termFreqs(tok)
+        .map(pp => graft.index.ShardPosting(0, pp.term, pp.doc_id, pp.tf, pp.dl))
       val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") > p.saltThreshold)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -96,17 +96,22 @@ object TextExtract extends Serializable {
     cleanText(stripHtml(s))
   }
 
+  // precompiled: String.replaceAll/split compile their regex per call,
+  // which dominates when these run per-row on executors
+  private val nonAlnum = java.util.regex.Pattern.compile("[^a-zA-Z0-9 \n]+")
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   /** The normalization half of cleanString (no tag strip) — applied to
     * already-extracted text and to queries. */
   def cleanText(s: String): String = {
     if (s == null || s.isEmpty) return s
-    s.replaceAll("[^a-zA-Z0-9 \n]+", "").toLowerCase(java.util.Locale.ROOT)
+    nonAlnum.matcher(s).replaceAll("").toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Whitespace split, drop empties, drop stopwords. */
   private def splitFilter(cleaned: String): Array[String] = {
     if (cleaned == null) return Array.empty
-    cleaned.split("\\s+").filter(w => w.nonEmpty && !Stopwords.english(w))
+    ws.split(cleaned).filter(w => w.nonEmpty && !Stopwords.english(w))
   }
 
   /** Doc tokenizer: capped at [[MaxDocTokens]] (reference parity for

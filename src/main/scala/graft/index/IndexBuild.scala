@@ -13,7 +13,12 @@ import graft.data.Page
   * needs a doc-side join). */
 case class Posting(term: String, doc_id: Long, tf: Int, dl: Int)
 
-case class SaltedPosting(term: String, salt: Int, doc_id: Long, tf: Int, dl: Int)
+/** A posting tagged with its doc shard — the build keys every stage by
+  * (shard, term[, salt]) so one job processes a whole wave of shards. */
+case class ShardPosting(shard: Int, term: String, doc_id: Long, tf: Int, dl: Int)
+
+case class SaltedPosting(shard: Int, term: String, salt: Int, doc_id: Long,
+                         tf: Int, dl: Int)
 
 /** One compressed posting block: ≤ blockSize docs, sorted by doc_id, with
   * per-block max-score metadata for block-max WAND.
@@ -23,7 +28,7 @@ case class SaltedPosting(term: String, salt: Int, doc_id: Long, tf: Int, dl: Int
   * prunable by Parquet min-max stats and plain filters.
   */
 case class PostingBlock(
-    term: String, salt: Int, block_id: Int,
+    shard: Int, term: String, salt: Int, block_id: Int,
     first_doc: Long, last_doc: Long, n_docs: Int,
     max_tf: Int, max_tfsat: Double,
     doc_gaps_vb: Array[Byte], tfs_vb: Array[Byte], dls_vb: Array[Byte])
@@ -50,7 +55,8 @@ case class BuildParams(
     nTermBuckets: Int = 16,        // directory partitions of postings by term hash
     k1: Double = 1.2,
     b: Double = 0.75,
-    fullText: Boolean = true)      // uncapped tokens (web index) vs 16-token cap
+    fullText: Boolean = true,      // uncapped tokens (web index) vs 16-token cap
+    waveShards: Int = 0)           // shards committed per wave job; 0 = all todo
 
 /** Inverted-index construction: the Spark-native rebuild of the reference's
   * blocked external sort-merge index (reference: index/hash_index.py:24-201)
@@ -79,20 +85,41 @@ object IndexBuild {
   def docIdCol(url: Column): Column =
     xxhash64(url).bitwiseAND(lit(Long.MaxValue))
 
-  /** pages → (doc_id, url, shard, dl, tokens). Narrow, codegen'd except the
-    * one extraction UDF. */
+  /** Scala twin of [[docIdCol]] (same XXH64, seed 42, same mask) — lets the
+    * tokenizer run as one typed pass; parity is property-tested. */
+  def docId(url: String): Long = {
+    val b = url.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L) & Long.MaxValue
+  }
+
+  /** One tokenized page. */
+  case class TokDoc(doc_id: Long, url: String, shard: Int, dl: Int,
+                    tokens: Array[String])
+
+  /** pages → (doc_id, url, shard, dl, tokens). One typed pass: the regex
+    * clean + split + stopword HashSet filter run once per row in plain JVM
+    * code (the Column-HOF form re-evaluates the token expression for every
+    * derived column and pays a 179-way array_contains per token — measured
+    * ~8× slower at 20k docs). */
   def tokenize(pages: Dataset[Page], p: BuildParams): DataFrame = {
-    val cleaned = TextExtract.cleanTextCol(col("text"))
-    val toks =
-      if (p.fullText) TextExtract.fullTokensCol(cleaned)
-      else TextExtract.docTokensCol(cleaned)
-    pages
-      .withColumn("doc_id", docIdCol(col("url")))
-      .withColumn("shard", pmod(col("doc_id"), lit(p.numShards)).cast("int"))
-      .withColumn("tokens", toks)
-      .withColumn("dl", size(col("tokens")))
-      .filter(col("dl") > 0) // empty-doc filter (reference: main.py:31-33)
-      .select("doc_id", "url", "shard", "dl", "tokens")
+    import pages.sparkSession.implicits._
+    val numShards = p.numShards
+    val fullText = p.fullText
+    pages.mapPartitions { it =>
+      it.flatMap { pg =>
+        val cleaned = TextExtract.cleanText(pg.text)
+        val toks =
+          if (fullText) TextExtract.tokenizeFull(cleaned)
+          else TextExtract.tokenizeDoc(cleaned)
+        if (toks.isEmpty) None // empty-doc filter (reference: main.py:31-33)
+        else {
+          val id = docId(pg.url)
+          Some(TokDoc(id, pg.url, (id % numShards).toInt, toks.length, toks))
+        }
+      }
+    }.toDF()
   }
 
   /** Stats pass: per-doc lengths + corpus aggregates for one shard. */
@@ -115,12 +142,32 @@ object IndexBuild {
   private def tfSat(tf: Int, dl: Int, avgdl: Double, k1: Double, b: Double): Double =
     tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
+  /** Merge consecutive postings with equal doc_id, summing tf. Lets the
+    * build feed RAW TOKEN INSTANCES (tf=1 each) straight into the salted
+    * sort: after sorting by doc_id, a doc's instances are adjacent, so tf
+    * falls out of run-length counting — no separate corpus-wide
+    * (term, doc_id) aggregation shuffle is ever needed. No-op on already
+    * aggregated input. */
+  private def mergeConsecutive(it: Iterator[Posting]): Iterator[Posting] =
+    new Iterator[Posting] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): Posting = {
+        var cur = buf.next()
+        while (buf.hasNext && buf.head.doc_id == cur.doc_id)
+          cur = cur.copy(tf = cur.tf + buf.next().tf)
+        cur
+      }
+    }
+
   /** Encode one sorted iterator of postings into blocks of ≤ blockSize. */
-  private def encodeBlocks(term: String, salt: Int, sorted: Iterator[Posting],
-                           blockSize: Int, avgdl: Double, k1: Double, b: Double,
-                           startBlockId: Int = 0): Iterator[PostingBlock] =
+  private def encodeBlocks(shard: Int, term: String, salt: Int,
+                           preSorted: Iterator[Posting],
+                           blockSize: Int, avgdl: Double, k1: Double, b: Double
+                          ): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
-      private var blockId = startBlockId
+      private val sorted = mergeConsecutive(preSorted)
+      private var blockId = 0
       def hasNext: Boolean = sorted.hasNext
       def next(): PostingBlock = {
         val docs = new ArrayBuffer[Long](blockSize)
@@ -136,7 +183,7 @@ object IndexBuild {
           if (s > maxSat) maxSat = s
         }
         val blk = PostingBlock(
-          term, salt, blockId, docs.head, docs.last, docs.length,
+          shard, term, salt, blockId, docs.head, docs.last, docs.length,
           maxTf, maxSat,
           VarByte.encodeDeltas(docs.toArray),
           VarByte.encode(tfs.toArray),
@@ -155,11 +202,12 @@ object IndexBuild {
       Posting(blk.term, docs(i), tfs(i).toInt, dls(i).toInt))
   }
 
-  /** Stage 1: salt hot terms, shuffle on (term, salt), sort by doc_id within
-    * each group, varbyte-encode runs. The salt bounds any single task's
-    * state to ~targetPerSalt postings regardless of term skew. */
-  def saltedRuns(tf: Dataset[Posting], hotDf: Map[String, Long], p: BuildParams,
-                 avgdl: Double): Dataset[PostingBlock] = {
+  /** Stage 1: salt hot terms, shuffle on (shard, term, salt), sort by
+    * doc_id within each group, varbyte-encode runs. The salt bounds any
+    * single task's state to ~targetPerSalt postings regardless of term
+    * skew; keying by shard lets ONE job process a whole wave of shards. */
+  def saltedRuns(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
+                 p: BuildParams, avgdl: Double): Dataset[PostingBlock] = {
     val spark = tf.sparkSession
     import spark.implicits._
     val hotSalts: Map[String, Int] = hotDf.map { case (t, df) =>
@@ -171,12 +219,12 @@ object IndexBuild {
       val n = bcHot.value.getOrElse(pp.term, 1)
       val salt = if (n <= 1) 0
         else ((Synth63.mix(pp.doc_id) & Long.MaxValue) % n).toInt
-      SaltedPosting(pp.term, salt, pp.doc_id, pp.tf, pp.dl)
+      SaltedPosting(pp.shard, pp.term, salt, pp.doc_id, pp.tf, pp.dl)
     }
     salted
-      .groupByKey(sp => (sp.term, sp.salt))
-      .flatMapSortedGroups($"doc_id") { case ((term, salt), it) =>
-        encodeBlocks(term, salt,
+      .groupByKey(sp => (sp.shard, sp.term, sp.salt))
+      .flatMapSortedGroups($"doc_id") { case ((shard, term, salt), it) =>
+        encodeBlocks(shard, term, salt,
           it.map(sp => Posting(sp.term, sp.doc_id, sp.tf, sp.dl)),
           blockSize, avgdl, k1, b)
       }
@@ -193,8 +241,8 @@ object IndexBuild {
     import spark.implicits._
     val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
     runs
-      .groupByKey(_.term)
-      .flatMapSortedGroups($"salt", $"first_doc") { (term, it) =>
+      .groupByKey(b0 => (b0.shard, b0.term))
+      .flatMapSortedGroups($"salt", $"first_doc") { case ((shard, term), it) =>
         // Group compressed blocks into per-salt runs (each run internally
         // sorted, runs overlap) and heap-merge their decoded streams.
         val bySalt = mutable.LinkedHashMap.empty[Int, ArrayBuffer[PostingBlock]]
@@ -222,14 +270,14 @@ object IndexBuild {
               pp
             }
           }
-          encodeBlocks(term, 0, merged, blockSize, avgdl, k1, b)
+          encodeBlocks(shard, term, 0, merged, blockSize, avgdl, k1, b)
         }
       }
   }
 
-  /** Full build of one shard's postings (both stages). hotDf = within-shard
-    * df of terms above the salt threshold. */
-  def buildShardPostings(tf: Dataset[Posting], hotDf: Map[String, Long],
+  /** Both build stages over a wave of shards in two shuffles total. hotDf =
+    * per-shard df (approx) of terms above the salt threshold. */
+  def buildShardPostings(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
                          p: BuildParams, avgdl: Double): Dataset[PostingBlock] =
     mergeRuns(saltedRuns(tf, hotDf, p, avgdl), p, avgdl)
 }

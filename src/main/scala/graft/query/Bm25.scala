@@ -73,7 +73,7 @@ object Bm25 {
     def termInfos(q: String): Seq[TermInfo] = {
       val qts = queryTerms(q)
       if (qts.isEmpty) return Nil
-      val stats = InvertedIndex.termStats(spark, dir)
+      val stats = InvertedIndex.termStats(spark, dir, avgdl)
         .filter($"term".isin(qts.map(_.term): _*))
         .collect().map(ts => ts.term -> ts).toMap
       qts.flatMap { qt =>
@@ -82,15 +82,24 @@ object Bm25 {
       }
     }
 
-    /** Pruned posting-block scan: bucket dirs + term min-max row groups. */
+    /** Pruned posting-block scan: bucket dirs + term min-max row groups.
+      * Each block's max_tfsat is inflated by its shard's avgdl-drift factor
+      * so WAND pruning stays safe on indexes appended under an older avgdl
+      * (resume waves, streaming segments). */
     private def loadBlocks(terms: Seq[String]): Dataset[PostingBlock] = {
       val buckets = terms.toDF("t")
         .select(pmod(xxhash64($"t"), lit(nTermBuckets)).cast("int").as("b"))
         .distinct().as[Int].collect().toSeq
+      val factors = InvertedIndex.avgdlBuild(spark, dir)
+      val fMap = map(factors.toSeq.flatMap { case (sh, av) =>
+        Seq(lit(sh), lit(math.max(1.0, avgdl / av)))
+      }: _*)
       spark.read.parquet(s"$dir/postings")
         .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
-        .select($"term", $"salt", $"block_id", $"first_doc", $"last_doc",
-          $"n_docs", $"max_tf", $"max_tfsat",
+        .withColumn("max_tfsat",
+          $"max_tfsat" * coalesce(element_at(fMap, $"shard".cast("int")), lit(1.0)))
+        .select($"shard".cast("int").as("shard"), $"term", $"salt", $"block_id",
+          $"first_doc", $"last_doc", $"n_docs", $"max_tf", $"max_tfsat",
           $"doc_gaps_vb", $"tfs_vb", $"dls_vb")
         .as[PostingBlock]
     }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.data.Page
+import graft.index.{BuildParams, IndexBuild, InvertedIndex, ManifestRow}
+
+/** Incremental (streaming) index maintenance — the Structured-Streaming
+  * analog of the reference's one-document-at-a-time `index.insert`
+  * (reference: index/index.py:55-57, index_new.py:58-63): micro-batches of
+  * pages are appended as independent, immutable posting SEGMENTS that reuse
+  * the batch index's on-disk layout (a segment is just a shard with id
+  * ≥ 1000), so the whole read/query path — Bm25.open, topk, topkWand,
+  * corpus/term stats — works on a streamed index unchanged.
+  *
+  * Consistency under growth: each segment's blocks embed the avgdl at its
+  * append time (corpus row `avgdl_build`); queries inflate stale max_tfsat
+  * bounds by max(1, avgdl_now/avgdl_build), keeping WAND result-identical
+  * while the corpus drifts.
+  *
+  * Exactly-once: foreachBatch + a manifest commit row per (segment) batch;
+  * a replayed batch id that is already committed is skipped, so restart
+  * after failure never double-indexes a segment.
+  */
+object StreamingIndex {
+
+  final val SegmentBase = 1000
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = true),
+    StructField("html", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  /** Append one micro-batch of pages as segment (SegmentBase + batchId).
+    * Public so batch jobs can append segments too (idempotent by id). */
+  def appendSegment(spark: SparkSession, batch: Dataset[Page], dir: String,
+                    batchId: Long, p: BuildParams): Unit = {
+    import spark.implicits._
+    val seg = SegmentBase + batchId.toInt
+    if (InvertedIndex.committedShards(spark, dir).contains(seg)) return
+
+    // every doc in this segment lands in this segment's shard id
+    val tokenized = IndexBuild.tokenize(batch, p.copy(numShards = 1))
+      .withColumn("shard", lit(seg))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    tokenized.select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$dir/docstats")
+
+    // avgdl over everything indexed so far INCLUDING this segment
+    val allDoc = spark.read.parquet(s"$dir/docstats")
+    val tot = allDoc.agg(count(lit(1)), sum($"doclen")).head()
+    val avgdl = tot.getLong(1).toDouble / math.max(tot.getLong(0), 1L)
+    val segStats = allDoc.filter($"shard" === seg)
+      .agg(count(lit(1)), sum($"doclen")).head()
+    Seq(InvertedIndex.CorpusShard(seg, segStats.getLong(0), segStats.getLong(1), avgdl))
+      .toDS().write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$dir/corpus")
+
+    val tf = IndexBuild.termFreqs(tokenized.drop("shard"))
+      .map(pp => graft.index.ShardPosting(seg, pp.term, pp.doc_id, pp.tf, pp.dl))
+    val postings = IndexBuild.buildShardPostings(tf, Map.empty, p, avgdl)
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    postings.repartition(col("bucket")).sortWithinPartitions($"term", $"block_id")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "bucket")
+      .parquet(s"$dir/postings")
+    postings.groupBy($"shard", $"term")
+      .agg(sum($"n_docs").as("df"), max($"max_tfsat").as("max_tfsat"))
+      .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "bucket")
+      .parquet(s"$dir/termstats")
+
+    val stats = postings.agg(sum($"n_docs"), count(lit(1)),
+      sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb"))).head()
+    postings.unpersist(); tokenized.unpersist()
+    Seq(ManifestRow(seg, stats.getLong(0), stats.getLong(1), stats.getLong(2),
+        committed = true,
+        s"segment=$seg batchId=$batchId avgdl=$avgdl params=$p"))
+      .toDS().write.mode(SaveMode.Append)
+      .parquet(InvertedIndex.manifestPath(dir))
+  }
+
+  /** Start a streaming index build over a directory of page parquet files.
+    * New files become new segments; query with Bm25.open(indexDir) at any
+    * time. */
+  def start(spark: SparkSession, sourceDir: String, indexDir: String,
+            p: BuildParams = BuildParams()): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream.schema(pageSchema).parquet(sourceDir).as[Page]
+      .writeStream
+      .option("checkpointLocation", s"$indexDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        appendSegment(batch.sparkSession, batch, indexDir, batchId, p)
+      }
+      .start()
+  }
+}

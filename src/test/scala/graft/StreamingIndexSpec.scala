@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.data.Synth
+import graft.index.{BuildParams, InvertedIndex}
+import graft.query.Bm25
+import graft.streaming.StreamingIndex
+
+/** Streaming segments must converge to the same search results as a batch
+  * build over the same pages (modulo block layout), including WAND safety
+  * under avgdl drift between segments. */
+class StreamingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 600
+  private val Seed = 7L
+
+  test("streamed segments answer queries like a batch build; WAND stays identical") {
+    val src = tmpDir("stream-src")
+    val idxDir = tmpDir("stream-idx")
+    val batchDir = tmpDir("stream-batch")
+    val p = BuildParams(numShards = 1, blockSize = 16)
+
+    // two waves with very different doc-length mixes → avgdl drifts
+    val all = Synth.pages(spark, N, Seed, 4).collect()
+    val (wave1, wave2) = all.splitAt(N / 3)
+    wave1.toSeq.toDS().write.mode("append").parquet(src)
+
+    val q = StreamingIndex.start(spark, src, idxDir, p)
+    try {
+      q.processAllAvailable()
+      wave2.toSeq.toDS().write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // all docs indexed exactly once
+    val manifest = spark.read.parquet(s"${idxDir}/manifest")
+    assert(manifest.filter($"committed").count() >= 2)
+    val h = Bm25.open(spark, idxDir)
+    assert(h.nDocs == all.length)
+
+    // batch reference over the same pages
+    InvertedIndex.build(spark, all.toSeq.toDS(), batchDir, p)
+    val hb = Bm25.open(spark, batchDir)
+    assert(math.abs(h.avgdl - hb.avgdl) < 1e-9)
+
+    for (query <- Synth.refTitles.take(5) ++ Seq("w1 w3 the0", "w7 w20")) {
+      val streamed = h.topk(query, 10).as[(Long, Double)].collect().toSeq
+      val batch = hb.topk(query, 10).as[(Long, Double)].collect().toSeq
+      assert(streamed.map(_._1) == batch.map(_._1), s"'$query': $streamed vs $batch")
+      // WAND over drifted segments must still equal exhaustive
+      val wand = h.topkWand(query, 10).as[(Long, Double)].collect().toSeq
+      assert(wand == streamed, s"wand drift for '$query'")
+    }
+
+    // replaying a committed segment id is a no-op (exactly-once)
+    val before = spark.read.parquet(s"$idxDir/manifest").count()
+    StreamingIndex.appendSegment(spark, wave1.toSeq.toDS(), idxDir, 0L, p)
+    assert(spark.read.parquet(s"$idxDir/manifest").count() == before)
+  }
+}

@@ -43,3 +43,17 @@ class VarByteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VarByte.encode(Array(-1L)))
   }
 }
+
+/** Parity of the Scala docId twin with Spark's xxhash64 column. */
+class DocIdParitySpec extends SparkSpec {
+  import spark.implicits._
+  test("docId(url) == xxhash64(url) & MaxValue for random urls") {
+    val urls = (0 until 500).map(i => s"https://site${i % 97}.example/p/$i?x=${i * 31}")
+    val fromCol = urls.toDF("url")
+      .select($"url", graft.index.IndexBuild.docIdCol($"url").as("id"))
+      .as[(String, Long)].collect().toMap
+    urls.foreach { u =>
+      assert(graft.index.IndexBuild.docId(u) == fromCol(u), s"mismatch for $u")
+    }
+  }
+}
