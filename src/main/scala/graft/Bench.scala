@@ -15,19 +15,19 @@ import graft.query.Bm25
   *    "queries":{<name>:sec,...},"sf":"<dir>"}
   * where `queries` also carries the north-rule scaling evidence as
   * pseudo-queries:
-  *   index_build_p8_sec / index_build_p32_sec   — same 100k-doc parquet
+  *   index_build_p8_sec / index_build_p32_sec   — same BenchDocs parquet
   *     input, identical build params, local[8] vs local[32]
   *   index_docs_per_sec_p8 / _p32, scaling_efficiency
   *     (eff = (docs/s @32) / (docs/s @8) / 4; north rule: ≥ 0.8)
   *   bm25_query_avg_sec — mean latency over the reference query set
-  *     against the 100k index.
+  *     against the BenchDocs index.
   *
   * Also best-effort-writes BENCH.md with the same numbers.
   */
 object Bench {
 
   private val BenchDocs =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
   /** Sandbox hosts show up-to-8× noisy-neighbor variance (identical runs:
     * 18s vs 145s, GC 1s vs 27s). Scaling runs therefore ALTERNATE between
     * the two parallelism levels and report the per-level minimum — the
@@ -39,6 +39,7 @@ object Bench {
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -59,7 +60,7 @@ object Bench {
     val pagesPath = s"$tmp/graft_bench_pages"
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // ---- phase 1: materialize the shared 100k-page input once -----------
+    // ---- phase 1: materialize the shared page input once ----------------
     locally {
       val s = session(32)
       if (!Files.exists(Paths.get(pagesPath, "_SUCCESS"))) {

@@ -21,6 +21,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -51,6 +52,16 @@ object Main {
       rows.foreach(r => println(f"  ${r.getAs[Double]("score")}%12.6f  " +
         s"${r.getAs[Long]("doc_id")}  ${r.getAs[String]("url")}"))
       println(f"$verb took $sec%.3f s, ${rows.length} results")
+    case "build2" :: dir :: n :: Nil =>
+      // warmed fixed-overhead measurement: two full builds, same session
+      for (i <- 1 to 2) {
+        val d = s"$dir-$i"
+        graft.index.InvertedIndex.deleteDir(d)
+        val t0 = System.nanoTime()
+        InvertedIndex.build(spark, Synth.pages(spark, n.toLong, 42L), d,
+          BuildParams(numShards = 4))
+        println(f"[build2] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     case "profile" :: n :: Nil =>
       // stage-by-stage timing of the build pipeline (no writes)
       import spark.implicits._

@@ -29,7 +29,9 @@ object SparkEntry {
   /** Flagship: build (resume-aware) a small synthetic web-page index and
     * answer a reference query via block-max WAND BM25. */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_entry_idx"
+    // layout-versioned scratch name: a stale index from an older on-disk
+    // layout must trigger a fresh build, not a read error
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_entry_idx_v2"
     InvertedIndex.build(spark, Synth.pages(spark, 2000, 42L), dir,
       BuildParams(numShards = 2))
     val h = Bm25.open(spark, dir)
@@ -73,6 +75,12 @@ object SparkEntry {
           .orderBy(col("total").desc, col("user_id").asc)))
         .filter(col("rn") === 1).select("event_type", "user_id", "total")
     }),
+    // --- the reference's own search modality: LSH probe + Jaccard re-rank
+    "q_minhash_search" -> ((s, d) =>
+      graft.ops.MinHashSearch.search(docs(s, d), mhQueries, 10)),
+    // --- evaluation harness (reference results.py): hit rates per engine
+    //     and query variant; rows-only (the perturbation is seeded Scala)
+    "q_eval_hitrate" -> ((s, d) => graft.ops.Evaluate.hitRates(docs(s, d))),
     // --- multimodal plumbing (rows-only: binary decode is a stub seam) ---
     "q_multimodal" -> ((s, _) => graft.ops.Multimodal.summary(s, 2000)),
     // --- inverted-index flagship over synthetic pages (rows-only; the
@@ -93,7 +101,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_blocks"), sum(col("n_docs")).as("n_postings"))
     }),
     "q_pages_bm25" -> ((s, _) => {
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_pages_idx"
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_pages_idx_v2"
       InvertedIndex.build(s, Synth.pages(s, 1000, 42L), dir,
         BuildParams(numShards = 2))
       val h = Bm25.open(s, dir)
@@ -153,6 +161,18 @@ object SparkEntry {
       |  FROM bk GROUP BY 1)""".stripMargin
 
   private val STOP = "('the','a','of','and','to','in','is','on','for','with')"
+
+  /** Fixed query set for the MinHash-LSH search operator (terms from the
+    * documents vocabulary). */
+  val mhQueries: Seq[(Int, String)] = Seq(
+    0 -> "data join fast window",
+    1 -> "spark group query row",
+    2 -> "the fast key order sort merge")
+
+  private def mhQueryValues: String =
+    mhQueries.flatMap { case (id, q) =>
+      graft.ops.MinHashSearch.queryTokens(q).map(t => s"($id, '$t')")
+    }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q_token_count" ->
@@ -287,6 +307,36 @@ object SparkEntry {
          |SELECT vec_a, vec_b, round(dot / (na.nv * nb.nv), 6) AS cos
          |FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
          |WHERE round(dot / (na.nv * nb.nv), 6) >= 0.2""".stripMargin,
+    "q_minhash_search" ->
+      s"""WITH $TOKS, $MH, $BANDS,
+         |qt AS (SELECT query_id::BIGINT AS query_id, term
+         |       FROM (VALUES $mhQueryValues) t(query_id, term)),
+         |qsig AS (SELECT query_id, s.seed,
+         |         min(substr(md5(s.seed::VARCHAR || ':' || qt.term), 1, 16)) AS minhash
+         |         FROM qt CROSS JOIN (SELECT unnest(range(8)) AS seed) s GROUP BY 1, 2),
+         |qbands AS (SELECT query_id, seed // 2 AS band,
+         |           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+         |           FROM qsig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT q.query_id, d.doc_id
+         |         FROM qbands q JOIN bands d ON d.band = q.band AND d.band_hash = q.band_hash),
+         |dtok AS (SELECT DISTINCT doc_id, term FROM toks),
+         |dsize AS (SELECT doc_id, count(*) AS dn FROM dtok GROUP BY 1),
+         |qsize AS (SELECT query_id, count(*) AS qn FROM qt GROUP BY 1),
+         |inter AS (SELECT c.query_id, c.doc_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN dtok d ON d.doc_id = c.doc_id
+         |          JOIN qt ON qt.query_id = c.query_id AND qt.term = d.term
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT c.query_id, c.doc_id,
+         |        round(coalesce(i.i, 0) * 1.0 / (qs.qn + ds.dn - coalesce(i.i, 0)), 6) AS jaccard
+         |        FROM cand c
+         |        LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+         |        JOIN dsize ds ON ds.doc_id = c.doc_id
+         |        JOIN qsize qs ON qs.query_id = c.query_id),
+         |ranked AS (SELECT query_id, doc_id, jaccard,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, doc_id) AS rank
+         |           FROM jac)
+         |SELECT query_id, rank, doc_id, jaccard FROM ranked WHERE rank <= 10""".stripMargin,
     "q_events_window" ->
       """SELECT event_type, (floor(epoch(ts) / 300))::BIGINT AS bucket,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

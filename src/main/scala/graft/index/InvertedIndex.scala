@@ -185,6 +185,10 @@ object InvertedIndex {
     f.delete()
   }
 
+  /** Delete an index directory (local paths only; test/bench helper). */
+  def deleteDir(dir: String): Unit =
+    deleteRecursively(new java.io.File(stripScheme(dir)))
+
   // ------------------------------ read side ------------------------------
 
   def postings(spark: SparkSession, dir: String): Dataset[PostingBlock] = {

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{Evaluate, MinHashSearch}
+
+/** MinHash-LSH search + evaluation harness over the documents testdata. */
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("minhash search: self-retrieval of an exact document text") {
+    // querying with a doc's own text must retrieve that doc at jaccard 1.0
+    val (docId, text) = docs.select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val res = MinHashSearch.search(docs, Seq(0 -> text), k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_._2)
+    assert(top._3 == docId, s"expected $docId first, got ${res.toSeq}")
+    assert(top._4 == 1.0)
+  }
+
+  test("minhash search: ranks are dense per query and jaccard descends") {
+    val res = MinHashSearch.search(docs, SparkEntry.mhQueries, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = res.groupBy(_._1)
+    assert(byQ.keySet.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+  }
+
+  test("evaluation harness: deterministic, bm25 exact self-retrieval is strong") {
+    val r1 = Evaluate.hitRates(docs).collect().map(_.toString).sorted.toSeq
+    val r2 = Evaluate.hitRates(docs).collect().map(_.toString).sorted.toSeq
+    assert(r1 == r2)
+    val rates = Evaluate.hitRates(docs)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // the documents corpus has only ~31 distinct terms, so self-retrieval
+    // among 500 near-identical docs is intrinsically hard; require well
+    // above chance (k/N = 10/500 = 0.02), not an absolute bar
+    assert(rates(("bm25", "exact")) >= 0.1, s"rates: $rates")
+    // perturbed queries can't beat exact ones
+    assert(rates(("bm25", "perturbed")) <= rates(("bm25", "exact")) + 1e-9)
+    assert(rates.contains(("minhash_lsh", "exact")))
+    assert(rates(("minhash_lsh", "exact")) >= 0.05, s"rates: $rates")
+  }
+}
