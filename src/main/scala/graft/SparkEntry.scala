@@ -75,6 +75,32 @@ object SparkEntry {
           .orderBy(col("total").desc, col("user_id").asc)))
         .filter(col("rn") === 1).select("event_type", "user_id", "total")
     }),
+    // --- deterministic train/test split (reference S2 range slicing) -----
+    "q_split_counts" -> ((s, d) =>
+      graft.data.TableIO.withSplit(docs(s, d), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))),
+    // --- JSON sidecar extraction (events.props) --------------------------
+    "q_events_json" -> ((s, d) =>
+      events(s, d)
+        .withColumn("k_val", get_json_object(col("props"), "$.k"))
+        .groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))),
+    // --- ordered nested collect (reference S3/J4 answers-under-question) -
+    "q_user_sessions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val ranked = events(s, d)
+        .withColumn("rn", row_number().over(w))
+      val seqs = ranked.filter(col("rn") <= 20)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+      ranked.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .join(seqs, "user_id")
+        .select(col("user_id"), col("n_events"), col("seq"))
+    }),
     // --- the reference's own search modality: LSH probe + Jaccard re-rank
     "q_minhash_search" -> ((s, d) =>
       graft.ops.MinHashSearch.search(docs(s, d), mhQueries, 10)),
@@ -307,6 +333,24 @@ object SparkEntry {
          |SELECT vec_a, vec_b, round(dot / (na.nv * nb.nv), 6) AS cos
          |FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
          |WHERE round(dot / (na.nv * nb.nv), 6) >= 0.2""".stripMargin,
+    "q_split_counts" ->
+      """SELECT CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10) < 8
+        |            THEN 'train' ELSE 'test' END AS split,
+        |       lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT json_extract_string(props, '$.k') AS k_val,
+        |       count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_user_sessions" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |seqs AS (SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS seq
+        |         FROM ranked WHERE rn <= 20 GROUP BY 1),
+        |counts AS (SELECT user_id, count(*) AS n_events FROM ranked GROUP BY 1)
+        |SELECT c.user_id, c.n_events, s.seq FROM counts c JOIN seqs s USING (user_id)""".stripMargin,
     "q_minhash_search" ->
       s"""WITH $TOKS, $MH, $BANDS,
          |qt AS (SELECT query_id::BIGINT AS query_id, term
