@@ -20,7 +20,8 @@ object Main {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", 2 * cpus.toInt)
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -90,14 +91,13 @@ object Main {
       t("salted-encode+write")(
         graft.index.IndexBuild.saltedRuns(toks, Map.empty, p, avgdl)
           .write.mode("overwrite").parquet(s"$scratch/runs"))
-      val runs = spark.read.parquet(s"$scratch/runs")
-        .select($"shard", $"term", $"salt", $"block_id", $"first_doc",
-          $"last_doc", $"n_docs", $"max_tf", $"max_tfsat",
-          $"doc_gaps_vb", $"tfs_vb", $"dls_vb")
-        .as[graft.index.PostingBlock]
-      val merged = graft.index.IndexBuild.mergeRuns(runs, p, avgdl)
-      t("merge+write")(merged.write.mode("overwrite")
-        .parquet(s"$scratch/merged"))
+      t("layout-repartition+write")(
+        spark.read.parquet(s"$scratch/runs")
+          .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
+          .repartition(col("shard"), col("bucket"))
+          .sortWithinPartitions($"term", $"salt", $"block_id")
+          .write.mode("overwrite").partitionBy("shard", "bucket")
+          .parquet(s"$scratch/laidout"))
     case _ =>
       System.err.println("usage: build <dir> <nDocs> [seed] [shards] | query|wand <dir> <k> <terms...> | profile <nDocs>")
       sys.exit(2)

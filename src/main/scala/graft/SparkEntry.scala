@@ -109,6 +109,48 @@ object SparkEntry {
     "q_eval_hitrate" -> ((s, d) => graft.ops.Evaluate.hitRates(docs(s, d))),
     // --- multimodal plumbing (rows-only: binary decode is a stub seam) ---
     "q_multimodal" -> ((s, _) => graft.ops.Multimodal.summary(s, 2000)),
+    // --- T6: early-exit limited scan (reference: index/hash_index.py:81-90
+    //     brute_force_search with result_size_limit — deterministic analog:
+    //     ordered-by-key first-n; Spark plans it as TakeOrderedAndProject) --
+    "q_limited_scan" -> ((s, d) =>
+      docs(s, d).filter(col("lang") === "en" && col("n_chars") > 200)
+        .orderBy(col("doc_id")).limit(25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+    // --- J3: single-doc fetch by id (reference: results.py:149-158) —
+    //     the predicate reaches the parquet scan as PushedFilters ---------
+    "q_doc_fetch" -> ((s, d) =>
+      docs(s, d).filter(col("doc_id").isin(3L, 7L, 11L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // --- FLAGSHIP, driver-verified: build the inverted index over the sf
+    //     documents table, answer a fixed query via block-max WAND, map the
+    //     internal hashed doc ids back to the table's ids through docstats.
+    //     Oracle: brute-force BM25 in SQL with the identical tokenizer
+    //     (whitespace split minus the pinned stopword list) and identical
+    //     FP association. -------------------------------------------------
+    "q_index_bm25" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_docs_idx_v3_" +
+        Integer.toHexString(d.hashCode)
+      InvertedIndex.deleteDir(dir)
+      val pages = docs(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          graft.data.Page(s"doc://$id", new java.sql.Timestamp(0L),
+            Array.empty[Byte], text, "en")
+        }
+      InvertedIndex.build(s, pages, dir, BuildParams(numShards = 2))
+      val h = Bm25.open(s, dir)
+      // over-fetch (40 > k=20) so re-ranking on the ROUNDED score with the
+      // ORIGINAL id as tiebreak can never lose a boundary tie
+      val res = h.withUrls(h.topkWand(indexQueryTerms.mkString(" "), 40))
+        .select(regexp_replace(col("url"), "^doc://", "").cast("long").as("doc_id"),
+          round(col("score"), 6).as("score"))
+      res.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("doc_id"), col("score"), col("rank"))
+    }),
     // --- inverted-index flagship over synthetic pages (rows-only; the
     //     DuckDB-independent oracle is IndexSpec's brute-force BM25) -------
     "q_pages_postings" -> ((s, _) => {
@@ -188,6 +230,16 @@ object SparkEntry {
 
   private val STOP = "('the','a','of','and','to','in','is','on','for','with')"
 
+  /** Fixed query for the driver-verified index path (terms from the
+    * documents vocabulary; none is a stopword). */
+  val indexQueryTerms: Seq[String] = Seq("data", "join", "fast", "window")
+
+  /** The engine's pinned stopword list as a SQL IN-list — the oracle must
+    * tokenize EXACTLY like the index build (whitespace split minus these). */
+  private def stopSqlList: String =
+    graft.core.Stopwords.englishSorted
+      .map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
   /** Fixed query set for the MinHash-LSH search operator (terms from the
     * documents vocabulary). */
   val mhQueries: Seq[(Int, String)] = Seq(
@@ -258,10 +310,12 @@ object SparkEntry {
     "q_minhash" -> s"WITH $TOKS, $MH SELECT doc_id, seed, minhash FROM mh",
     "q_lsh_bands" -> s"WITH $TOKS, $MH, $BANDS SELECT doc_id, band, band_hash FROM bands",
     "q_lsh_pairs" ->
-      s"""WITH $TOKS, $MH, $BANDS
+      s"""WITH $TOKS, $MH, $BANDS,
+         |b2 AS (SELECT doc_id, band, band_hash FROM bands
+         |       QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 50)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a
-         |JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+         |FROM b2 a
+         |JOIN b2 b ON a.band = b.band AND a.band_hash = b.band_hash
          |            AND a.doc_id < b.doc_id""".stripMargin,
     "q_simhash" ->
       s"""WITH $TOKS,
@@ -323,8 +377,10 @@ object SparkEntry {
          |SELECT query_id, rank, cid AS vec_id, cos FROM ranked WHERE rank <= 10""".stripMargin,
     "q_embed_neardups" ->
       s"""WITH $E, $NRM, $PL, $BUCK,
+         |b2 AS (SELECT vec_id, bucket FROM buckets
+         |       QUALIFY count(*) OVER (PARTITION BY bucket) <= 50),
          |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |          FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |dots AS (SELECT p.vec_a, p.vec_b, sum(ea.x * eb.x) AS dot
          |         FROM pairs p
          |         JOIN e ea ON ea.vec_id = p.vec_a
@@ -338,6 +394,35 @@ object SparkEntry {
         |            THEN 'train' ELSE 'test' END AS split,
         |       lang, count(*) AS n
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_limited_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 200
+        |ORDER BY doc_id LIMIT 25""".stripMargin,
+    "q_doc_fetch" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN (3, 7, 11)",
+    "q_index_bm25" ->
+      s"""WITH itoks AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE term <> '' AND term NOT IN ($stopSqlList)),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM itoks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM itoks
+         |       WHERE term IN (${indexQueryTerms.map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |             (tf.tf * 2.2 /
+         |              (tf.tf + 1.2 * (0.25 + (0.75 / stats.avgdl) * dl.dl)))), 6) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY 1)
+         |SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, score,
+         |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 20""".stripMargin,
     "q_events_json" ->
       """SELECT json_extract_string(props, '$.k') AS k_val,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

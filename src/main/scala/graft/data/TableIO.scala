@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
 object TableIO {
 
   /** Bucket 0..nBuckets-1 from the row key, stable across engines:
-    * first hex digit of md5(key) mod nBuckets. */
+    * first 4 hex digits of md5(key) mod nBuckets. The key is hashed as its
+    * DECIMAL STRING (cast to string first): a bigint cast straight to binary
+    * hashes the 8-byte big-endian representation, which no other engine's
+    * md5(key::VARCHAR) reproduces. */
   def splitBucket(key: Column, nBuckets: Int = 10): Column =
-    (conv(substring(md5(key.cast("binary")), 1, 4), 16, 10).cast("long")
-      % nBuckets).cast("int")
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % nBuckets).cast("int")
 
   /** Add a split column: "train" for buckets < trainBuckets, else "test". */
   def withSplit(df: DataFrame, key: String, nBuckets: Int = 10,

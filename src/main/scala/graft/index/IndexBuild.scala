@@ -1,6 +1,5 @@
 package graft.index
 
-import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
@@ -62,16 +61,18 @@ case class BuildParams(
   * blocked external sort-merge index (reference: index/hash_index.py:24-201)
   * as a declarative pipeline:
   *
-  *   pages → extract+tokenize (narrow) → explode → partial hash-agg tf
-  *   (map-side combine) → salted repartition+sort (shuffle 1, skew-bounded)
-  *   → varbyte block encode → per-term segment merge (shuffle 2, compressed
-  *   runs only) → partitioned Parquet postings + doc/term/corpus stats +
-  *   manifest.
+  *   pages → extract+tokenize (narrow) → explode → range-salted
+  *   repartition+sort (ONE skew-bounded shuffle) → run-length tf +
+  *   varbyte block encode → partitioned Parquet postings + doc/term/corpus
+  *   stats + manifest.
   *
   * Everything is Dataset/Catalyst — the only imperative code runs inside
-  * `flatMapSortedGroups` (block encode / k-way run merge), which is the
-  * typed-Dataset analog of the reference's `_dump_block` / `heapq.merge`
-  * (hash_index.py:113-124,166-195) with Spark's spilling shuffle underneath.
+  * `flatMapSortedGroups` (block encode), the typed-Dataset analog of the
+  * reference's `_dump_block` (hash_index.py:113-124) with Spark's spilling
+  * shuffle underneath. The reference's k-way `heapq.merge`
+  * (hash_index.py:166-195) has no runtime counterpart at all: range salting
+  * makes the per-salt runs disjoint-and-ordered, so "merge" is a free
+  * layout property (see [[rangeSalt]]).
   */
 object IndexBuild {
 
@@ -202,24 +203,43 @@ object IndexBuild {
       Posting(blk.term, docs(i), tfs(i).toInt, dls(i).toInt))
   }
 
-  /** Stage 1: salt hot terms, shuffle on (shard, term, salt), sort by
-    * doc_id within each group, varbyte-encode runs. The salt bounds any
-    * single task's state to ~targetPerSalt postings regardless of term
-    * skew; keying by shard lets ONE job process a whole wave of shards. */
+  /** Number of range-salt buckets for a term with ~df postings per shard. */
+  private def saltCount(df: Long, targetPerSalt: Long): Int =
+    math.max(2, math.ceil(df.toDouble / targetPerSalt).toInt)
+
+  /** Range salt of a doc_id among n buckets: doc ids are xxhash64-uniform
+    * over [0, 2^63), so fixed-width ranges are as balanced as hash salting —
+    * AND they make the salted runs of one term DISJOINT and ordered (all
+    * doc ids in salt k precede all in salt k+1). That property eliminates
+    * the whole k-way merge stage: the concatenation of the per-salt sorted
+    * runs in salt order IS the globally doc_id-ordered posting list, so no
+    * task ever needs to hold more than one encode buffer — per-term merge
+    * state is O(blockSize) no matter how hot the term (the reference's
+    * heapq.merge, hash_index.py:166-195, becomes a zero-cost layout
+    * property instead of a compute stage). */
+  def rangeSalt(docId: Long, n: Int): Int =
+    if (n <= 1) 0 else (docId / (Long.MaxValue / n + 1)).toInt
+
+  /** Salt hot terms, shuffle on (shard, term, salt), sort by doc_id within
+    * each group, varbyte-encode runs. The salt bounds any single task's
+    * state to ~targetPerSalt postings regardless of term skew; keying by
+    * shard lets ONE job process a whole wave of shards. Because the salt is
+    * a doc_id RANGE (see [[rangeSalt]]), the emitted blocks of a term are
+    * globally non-overlapping and need no downstream merge: this one
+    * shuffle is the entire postings build. */
   def saltedRuns(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
                  p: BuildParams, avgdl: Double): Dataset[PostingBlock] = {
     val spark = tf.sparkSession
     import spark.implicits._
     val hotSalts: Map[String, Int] = hotDf.map { case (t, df) =>
-      t -> math.max(2, math.ceil(df.toDouble / p.targetPerSalt).toInt)
+      t -> saltCount(df, p.targetPerSalt)
     }
     val bcHot = spark.sparkContext.broadcast(hotSalts)
     val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
     val salted = tf.map { pp =>
       val n = bcHot.value.getOrElse(pp.term, 1)
-      val salt = if (n <= 1) 0
-        else ((Synth63.mix(pp.doc_id) & Long.MaxValue) % n).toInt
-      SaltedPosting(pp.shard, pp.term, salt, pp.doc_id, pp.tf, pp.dl)
+      SaltedPosting(pp.shard, pp.term, rangeSalt(pp.doc_id, n),
+        pp.doc_id, pp.tf, pp.dl)
     }
     salted
       .groupByKey(sp => (sp.shard, sp.term, sp.salt))
@@ -230,66 +250,11 @@ object IndexBuild {
       }
   }
 
-  /** Stage 2: per-term segment merge of salted sorted runs into globally
-    * doc_id-ordered blocks — the Catalyst-expressed analog of the
-    * reference's k-way `heapq.merge` (hash_index.py:166-195), operating on
-    * compressed runs (1-3 bytes/posting), so the per-term group state within
-    * a shard stays small even for salted hot terms. */
-  def mergeRuns(runs: Dataset[PostingBlock], p: BuildParams,
-                avgdl: Double): Dataset[PostingBlock] = {
-    val spark = runs.sparkSession
-    import spark.implicits._
-    val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
-    runs
-      .groupByKey(b0 => (b0.shard, b0.term))
-      .flatMapSortedGroups($"salt", $"first_doc") { case ((shard, term), it) =>
-        // Group compressed blocks into per-salt runs (each run internally
-        // sorted, runs overlap) and heap-merge their decoded streams.
-        val bySalt = mutable.LinkedHashMap.empty[Int, ArrayBuffer[PostingBlock]]
-        it.foreach(b0 => bySalt.getOrElseUpdate(b0.salt, new ArrayBuffer) += b0)
-        if (bySalt.size == 1)
-          // single run: already globally sorted; just renumber blocks
-          bySalt.head._2.iterator.zipWithIndex.map { case (b0, i) =>
-            b0.copy(salt = 0, block_id = i)
-          }
-        else {
-          val streams: Seq[BufferedIterator[Posting]] =
-            bySalt.valuesIterator.map(
-              bs => bs.iterator.flatMap(decodeBlock).buffered).toSeq
-          val heap = mutable.PriorityQueue.empty[(Long, Int)](
-            Ordering.by[(Long, Int), Long](_._1).reverse)
-          streams.zipWithIndex.foreach { case (s, i) =>
-            if (s.hasNext) heap.enqueue((s.head.doc_id, i))
-          }
-          val merged = new Iterator[Posting] {
-            def hasNext: Boolean = heap.nonEmpty
-            def next(): Posting = {
-              val (_, i) = heap.dequeue()
-              val pp = streams(i).next()
-              if (streams(i).hasNext) heap.enqueue((streams(i).head.doc_id, i))
-              pp
-            }
-          }
-          encodeBlocks(shard, term, 0, merged, blockSize, avgdl, k1, b)
-        }
-      }
-  }
-
-  /** Both build stages over a wave of shards in two shuffles total. hotDf =
-    * per-shard df (approx) of terms above the salt threshold. */
+  /** The postings build over a wave of shards — ONE shuffle. hotDf =
+    * per-shard posting count (approx) of terms above the salt threshold.
+    * (Range salting makes a separate merge stage unnecessary; see
+    * [[rangeSalt]].) */
   def buildShardPostings(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
                          p: BuildParams, avgdl: Double): Dataset[PostingBlock] =
-    mergeRuns(saltedRuns(tf, hotDf, p, avgdl), p, avgdl)
-}
-
-/** Tiny stable 64-bit mixer for salting (splitmix64 finalizer — public
-  * domain constant set; same family as graft.data.Synth.mix64 but kept
-  * local to avoid a data→index dependency). */
-object Synth63 {
-  def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+    saltedRuns(tf, hotDf, p, avgdl)
 }

@@ -37,30 +37,62 @@ object InvertedIndex {
 
   def manifestPath(dir: String) = s"$dir/manifest"
 
-  /** Shards already committed according to the manifest. */
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Shards already committed according to the manifest. (Hadoop FS API —
+    * works on HDFS/object stores, not just file://.) */
   def committedShards(spark: SparkSession, dir: String): Set[Int] = {
     import spark.implicits._
-    val p = new java.io.File(s"${stripScheme(dir)}/manifest")
-    if (!p.exists()) Set.empty
+    if (!exists(spark, manifestPath(dir))) Set.empty
     else spark.read.parquet(manifestPath(dir))
       .filter($"committed").select($"partition_id").as[Int].collect().toSet
   }
 
-  private def stripScheme(s: String) = s.stripPrefix("file:")
+  /** Layout-affecting build params are persisted with the index (a one-row
+    * parquet at <dir>/params) so readers never have to guess nTermBuckets
+    * etc. — an index opened with mismatched layout params would silently
+    * drop postings for every term whose directory bucket differs. */
+  def writeParamsIfAbsent(spark: SparkSession, dir: String, p: BuildParams): Unit = {
+    import spark.implicits._
+    if (!exists(spark, s"$dir/params"))
+      Seq(p).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/params")
+  }
+
+  def readParams(spark: SparkSession, dir: String): Option[BuildParams] = {
+    import spark.implicits._
+    if (!exists(spark, s"$dir/params")) None
+    else Some(spark.read.parquet(s"$dir/params").as[BuildParams].head())
+  }
+
+  /** Fraction-denominator of the deterministic hot-term sample: docs with
+    * xxhash64(doc_id) ≡ 0 (mod SampleMod) — a 1/SampleMod sample that is a
+    * pure function of the data (stable under any partitioning/resume). */
+  final val SampleMod = 20
 
   /** Build (or resume) the index over `pages` into `dir`. Returns the number
     * of shards built in this invocation.
     *
-    * Pass structure (minimizing full-corpus scans — the dominant cost at
-    * 100 TB):
-    *   1. tokenize (narrow) → docstats for all todo shards in ONE dynamic-
-    *      partition-overwrite write; corpus stats re-derived from docstats.
-    *   2. tf hash-agg (ONE shuffle over all todo shards), persisted; global
-    *      hot-term df sketch collected once (within-shard df ≈ df/numShards
-    *      since shard = doc_id mod numShards is hash-uniform).
-    *   3. per-shard (the resume unit): narrow filter of the cached tf →
-    *      salted encode + segment merge (two skew-bounded shuffles over
-    *      compressed data) → postings + termstats writes → commit marker.
+    * Pass structure (minimizing full-corpus scans AND driver-blocking jobs —
+    * both dominate at 100 TB):
+    *   1. tokenize (narrow) → scratch Parquet, partitioned by shard. The
+    *      only full scan of the raw corpus.
+    *   2. two LIGHT jobs off the scratch: per-shard (n_docs, sum_dl) for the
+    *      corpus-global avgdl (column-pruned — never touches the tokens
+    *      column), and the hot-term sketch over a deterministic 1/20 doc
+    *      sample scaled back up (heavy hitters ≥ saltThreshold have <3%
+    *      sampling error; a missed borderline term just sorts unsalted,
+    *      which the spilling shuffle absorbs).
+    *   3. per wave of shards (the resume unit): explode scratch → ONE
+    *      skew-bounded shuffle (range-salted sort-encode, no merge stage —
+    *      see IndexBuild.rangeSalt) → layout repartition → postings write;
+    *      then termstats / docstats / corpus writes and LAST the manifest
+    *      commit marker — so readers filtering by committed shards (Bm25
+    *      .open) never see a torn wave.
     */
   def build(spark: SparkSession, pages: Dataset[Page], dir: String,
             p: BuildParams = BuildParams()): Int = {
@@ -69,6 +101,7 @@ object InvertedIndex {
     val done = committedShards(spark, dir)
     val todo = (0 until p.numShards).filterNot(done)
     if (todo.isEmpty) return 0
+    writeParamsIfAbsent(spark, dir, p)
 
     // Never .persist() here: Spark's columnar cache serializer
     // (dictionary/RLE stats per value) costs ~85µs/row on string-heavy data
@@ -81,31 +114,20 @@ object InvertedIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(scratch)
     val tokenized = spark.read.parquet(scratch)
 
-    // Pass 1: docstats for every todo shard, one (column-pruned) job.
-    // Dynamic overwrite touches only the shards being (re)built — committed
-    // shards' files stay put (Iceberg analog: REPLACE PARTITIONS).
-    tokenized.select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard")
-      .parquet(s"$dir/docstats")
-
-    // Corpus stats over ALL shards (done + todo) from the docstats table —
-    // avgdl must be corpus-global and identical on resume.
-    val allDoc = spark.read.parquet(s"$dir/docstats")
-    val byShard = allDoc.groupBy($"shard")
-      .agg(count(lit(1)).as("n_docs"), sum($"doclen").as("sum_dl"))
+    // Corpus stats over ALL shards (done + todo) — avgdl must be
+    // corpus-global and identical on resume. Todo shards from a column-
+    // pruned scratch agg; done shards from their committed corpus rows.
+    val todoStats = tokenized.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
       .as[(Int, Long, Long)].collect()
-    val nDocs = byShard.map(_._2).sum
-    val avgdl = byShard.map(_._3).sum.toDouble / math.max(nDocs, 1L)
-    // Only TODO shards get corpus rows here: committed shards keep the
-    // avgdl_build their blocks were actually encoded with.
-    byShard.toSeq.filter(s => todo.contains(s._1))
-      .map { case (sh, n, sd) => CorpusShard(sh, n, sd, avgdl) }.toDS()
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard")
-      .parquet(s"$dir/corpus")
+    val doneStats: Array[(Int, Long, Long)] =
+      if (done.isEmpty) Array.empty
+      else spark.read.parquet(s"$dir/corpus")
+        .filter($"shard".isin(done.toSeq: _*))
+        .select($"shard", $"n_docs", $"sum_dl").as[(Int, Long, Long)].collect()
+    val nDocs = todoStats.map(_._2).sum + doneStats.map(_._2).sum
+    val avgdl = (todoStats.map(_._3).sum + doneStats.map(_._3).sum).toDouble /
+      math.max(nDocs, 1L)
 
     // Token instances (tf=1 each). There is deliberately NO corpus-wide
     // (term, doc_id) aggregation: its group count ≈ corpus size degenerates
@@ -117,20 +139,20 @@ object InvertedIndex {
         explode($"tokens").as("term"), $"doc_id", lit(1).as("tf"), $"dl")
       .as[ShardPosting]
 
-    // Hot-term sketch: per-term token counts (Σtf ≥ df upper-bounds the
-    // posting count, which is what salting must bound); ~|vocab| groups →
-    // cheap map-side partial agg, unlike a (term, doc) agg.
+    // Hot-term sketch from the 1/SampleMod doc sample: per-term token counts
+    // (Σtf ≥ df upper-bounds the posting count, which is what salting must
+    // bound), scaled back up. ~|vocab| groups → map-side partial agg.
     val hotDf: Map[String, Long] = tokenized
+      .filter(pmod(xxhash64($"doc_id"), lit(SampleMod)) === 0)
       .select(explode($"tokens").as("term"))
       .groupBy($"term")
-      .agg((count(lit(1)) / todo.size).cast("long").as("n_per_shard"))
+      .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))
       .filter($"n_per_shard" > p.saltThreshold)
       .as[(String, Long)].collect().toMap
 
-    // Pass 3: waves. A wave of shards is ONE pair of shuffles + ONE set of
-    // writes; its shards commit together (all-or-nothing), so waveShards
-    // trades resume granularity against per-job overhead. Default: all todo
-    // shards in one wave.
+    // Waves. A wave of shards is ONE shuffle + ONE set of writes; its
+    // shards commit together (all-or-nothing), so waveShards trades resume
+    // granularity against per-job overhead. Default: all todo in one wave.
     val waveSize = if (p.waveShards > 0) p.waveShards else todo.size
     var built = 0
     for (wave <- todo.grouped(waveSize)) {
@@ -139,7 +161,7 @@ object InvertedIndex {
         .withColumn("bucket",
           pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
         .repartition(col("shard"), col("bucket"))
-        .sortWithinPartitions($"term", $"block_id")
+        .sortWithinPartitions($"term", $"salt", $"block_id")
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard", "bucket")
@@ -162,6 +184,25 @@ object InvertedIndex {
         .partitionBy("shard", "bucket")
         .parquet(s"$dir/termstats")
 
+      // docstats: a column-pruned projection of the scratch (tokens column
+      // never read). Dynamic overwrite touches only this wave's shards —
+      // committed shards' files stay put (Iceberg analog: REPLACE
+      // PARTITIONS). Written AFTER postings, BEFORE the manifest marker, so
+      // a mid-wave crash leaves the wave entirely invisible to readers.
+      tokenized.filter($"shard".isin(wave: _*))
+        .select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(s"$dir/docstats")
+
+      todoStats.toSeq.filter(s => wave.contains(s._1))
+        .map { case (sh, n, sd) => CorpusShard(sh, n, sd, avgdl) }.toDS()
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(s"$dir/corpus")
+
       // commit markers — written LAST, after every write of the wave landed
       val waveSec = (System.nanoTime() - t0) / 1e9
       val stats = postings.groupBy($"shard").agg(
@@ -176,18 +217,22 @@ object InvertedIndex {
       }.toDS().write.mode(SaveMode.Append).parquet(manifestPath(dir))
       built += wave.size
     }
-    deleteRecursively(new java.io.File(stripScheme(scratch)))
+    deleteDir(scratch, spark)
     built
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
+  /** Recursive delete via the Hadoop FS API (HDFS/object-store safe). The
+    * no-session overload builds a bare local-FS config (test/bench helper
+    * on file:// paths). */
+  def deleteDir(dir: String, spark: SparkSession): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    fs(spark, dir).delete(path, true)
   }
 
-  /** Delete an index directory (local paths only; test/bench helper). */
-  def deleteDir(dir: String): Unit =
-    deleteRecursively(new java.io.File(stripScheme(dir)))
+  def deleteDir(dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(path, true)
+  }
 
   // ------------------------------ read side ------------------------------
 
@@ -200,36 +245,6 @@ object InvertedIndex {
       .as[PostingBlock]
   }
 
-  /** Per-shard avgdl_build factors (see [[CorpusShard]]). */
-  def avgdlBuild(spark: SparkSession, dir: String): Map[Int, Double] = {
-    import spark.implicits._
-    spark.read.parquet(s"$dir/corpus")
-      .select($"shard", $"avgdl_build").as[(Int, Double)].collect().toMap
-  }
-
-  /** Global term stats: per-shard rows summed/maxed, with each shard's
-    * max_tfsat bound inflated to stay safe under the current avgdl. */
-  def termStats(spark: SparkSession, dir: String,
-                avgdlNow: Double): Dataset[TermStat] = {
-    import spark.implicits._
-    val av = spark.read.parquet(s"$dir/corpus").select($"shard", $"avgdl_build")
-    spark.read.parquet(s"$dir/termstats")
-      .join(broadcast(av), "shard")
-      .withColumn("adj", $"max_tfsat" *
-        greatest(lit(1.0), lit(avgdlNow) / $"avgdl_build"))
-      .groupBy($"term")
-      .agg(sum($"df").as("df"), max($"adj").as("max_tfsat"))
-      .as[TermStat]
-  }
-
   def docStats(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/docstats")
-
-  /** (n_docs, avgdl) over all committed shards. */
-  def corpusStats(spark: SparkSession, dir: String): (Long, Double) = {
-    val row = spark.read.parquet(s"$dir/corpus")
-      .agg(sum("n_docs"), sum("sum_dl")).collect()(0)
-    val n = row.getLong(0)
-    (n, row.getLong(1).toDouble / math.max(n, 1L))
-  }
 }

@@ -32,15 +32,24 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
 
   /** Per-(doc, seed) MinHash: min over tokens of md5(seed:term) hex prefix.
-    * Set semantics are automatic (min over duplicates = min over set). */
-  def minhash(docs: DataFrame, nSeeds: Int = 8): DataFrame =
+    * Set semantics are automatic (min over duplicates = min over set).
+    *
+    * Single-pass: all nSeeds minima are computed as one groupBy(doc_id) with
+    * nSeeds min-aggregates (map-side partial agg), then unpivoted — the token
+    * table is scanned and shuffled exactly once, vs the naive
+    * tokens × seeds crossJoin that blows the shuffle up nSeeds-fold. */
+  def minhash(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    val aggs = (0 until nSeeds).map { sd =>
+      min(substring(md5s(concat(lit(s"$sd:"), col("term"))), 1, 16)).as(s"m$sd")
+    }
     TextOps.tokens(docs)
-      .crossJoin(broadcast(
-        docs.sparkSession.range(nSeeds).toDF("seed")))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(substring(md5s(
-        concat(col("seed").cast("string"), lit(":"), col("term"))), 1, 16))
-        .as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nSeeds).map(sd => col(s"m$sd")): _*)))
+      .select(col("doc_id"), col("pos").cast("long").as("seed"),
+        col("col").as("minhash"))
+  }
 
   /** LSH bands over the minhash signature: rows-per-band = 2, band hash =
     * md5 of the band's minima concatenated in seed order (deterministic via
@@ -53,9 +62,23 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash")), ",")).as("band_hash"))
 
-  /** Candidate near-dup pairs: docs sharing any band bucket. */
-  def lshPairs(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+  /** Candidate near-dup pairs: docs sharing any band bucket.
+    *
+    * Bucket-size cap (the 100 TB guard): a bucket of m members emits m²/2
+    * pairs, so one degenerate mega-bucket (e.g. the empty-ish-doc band) makes
+    * the output quadratic in corpus size. Buckets with more than `maxBucket`
+    * members are dropped whole before the self-join — at that size the bucket
+    * carries no near-dup signal anyway (it's a collision cluster), and the
+    * cap makes the operator's output linear in the input. Deterministic and
+    * SQL-expressible (QUALIFY count(*) OVER bucket <= cap), so the oracle
+    * applies the identical cap. */
+  def lshPairs(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2,
+               maxBucket: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
     val bands = lshBands(docs, nSeeds, rowsPerBand)
+      .withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket)
     val a = bands.select(col("band").as("band_a"), col("band_hash").as("bh_a"),
       col("doc_id").as("doc_a"))
     val b = bands.select(col("band").as("band_b"), col("band_hash").as("bh_b"),

@@ -96,11 +96,19 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets (vec analog of
-    * Dedup.lshPairs): pairs in the same bucket with cosine ≥ threshold. */
+    * Dedup.lshPairs): pairs in the same bucket with cosine ≥ threshold.
+    * Buckets larger than `maxBucket` are dropped whole before the self-join
+    * (same quadratic-output guard as Dedup.lshPairs, same oracle-expressible
+    * QUALIFY cap). */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.95,
-                        nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+                        nPlanes: Int = 8, dims: Int = 64,
+                        maxBucket: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val capped = annBuckets(emb, nPlanes, dims)
+      .withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket).drop("bn")
     val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(annBuckets(emb, nPlanes, dims), "vec_id")
+      .join(capped, "vec_id")
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("bucket").as("bucket_b"))

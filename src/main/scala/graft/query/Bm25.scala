@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TextExtract
-import graft.index.{IndexBuild, InvertedIndex, Posting, PostingBlock}
+import graft.index.{IndexBuild, InvertedIndex, Posting, PostingBlock, TermStat}
 
 /** BM25 top-k over the inverted index (k1=1.2, b=0.75 per BASELINE.json).
   *
@@ -30,7 +30,7 @@ import graft.index.{IndexBuild, InvertedIndex, Posting, PostingBlock}
   * by its true score, so none is pruned and its final score is exact; a doc
   * that loses contributions to pruning had total upper bound < θ ≤ k-th
   * best, so it cannot displace a top-k member. Property-tested in
-  * Bm25Spec.
+  * IndexSpec (WAND-vs-exhaustive identity).
   */
 object Bm25 {
 
@@ -59,43 +59,100 @@ object Bm25 {
       .map { case (t, xs) => QueryTerm(t, xs.length) }
       .sortBy(_.term)
 
-  /** Open an index directory: loads the two corpus scalars once. */
+  /** xxhash64-of-UTF8 twin of the Column form `pmod(xxhash64(term), n)` —
+    * computes a term's directory bucket driver-side with NO Spark job
+    * (parity property-tested in IndexSpec). */
+  def termBucket(term: String, nTermBuckets: Int): Int = {
+    val b = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+    (((h % nTermBuckets) + nTermBuckets) % nTermBuckets).toInt
+  }
+
+  /** Open an index directory. ONE manifest read + ONE corpus read give the
+    * committed-shard set, the corpus scalars, the per-shard avgdl-drift
+    * factors, and the layout params (persisted at build, <dir>/params) —
+    * everything else a query needs is a pruned scan of the two cached
+    * DataFrames below (their file listings are computed once here, not per
+    * query). Uncommitted shards (a torn build wave) are invisible. */
   def open(spark: SparkSession, dir: String, nTermBuckets: Int = 16): IndexHandle = {
-    val (n, avgdl) = InvertedIndex.corpusStats(spark, dir)
-    IndexHandle(spark, dir, n, avgdl, nTermBuckets)
+    import spark.implicits._
+    val p = InvertedIndex.readParams(spark, dir)
+      .getOrElse(graft.index.BuildParams(nTermBuckets = nTermBuckets))
+    val committed = InvertedIndex.committedShards(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+      .select($"shard", $"n_docs", $"sum_dl", $"avgdl_build")
+      .as[(Int, Long, Long, Double)].collect()
+      .filter(r => committed.contains(r._1))
+    val n = corpus.map(_._2).sum
+    val avgdl = corpus.map(_._3).sum.toDouble / math.max(n, 1L)
+    val factors = corpus.map { case (sh, _, _, ab) =>
+      sh -> math.max(1.0, avgdl / ab)
+    }.toMap
+    IndexHandle(spark, dir, n, avgdl, p.nTermBuckets, committed, factors,
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/termstats"))
   }
 
   case class IndexHandle(spark: SparkSession, dir: String, nDocs: Long,
-                         avgdl: Double, nTermBuckets: Int) {
+                         avgdl: Double, nTermBuckets: Int,
+                         committed: Set[Int], factors: Map[Int, Double],
+                         postingsDF: DataFrame, termstatsDF: DataFrame,
+                         /** Exhaustive-path cutoff: when the query's total
+                           * posting count is below this, the separate
+                           * theta-bounding job costs more than the pruning
+                           * saves — score everything in one pass (result-
+                           * identical: WAND with theta = −inf prunes
+                           * nothing). Tests set 0 to force pruning. */
+                         wandCutoff: Long = 200000L) {
     import spark.implicits._
 
-    /** k-row pruned scan of termstats for the query's terms. */
+    /** Per-term stats cache: a query set hits the same vocabulary over and
+      * over; one pruned termstats job per NEW term set, zero for repeats. */
+    private val tsCache =
+      scala.collection.concurrent.TrieMap.empty[String, Option[TermStat]]
+
+    /** k-row pruned scan of termstats for the query's terms (bucket-dir +
+      * term min-max pruned; committed shards only), cached per term. */
     def termInfos(q: String): Seq[TermInfo] = {
       val qts = queryTerms(q)
       if (qts.isEmpty) return Nil
-      val stats = InvertedIndex.termStats(spark, dir, avgdl)
-        .filter($"term".isin(qts.map(_.term): _*))
-        .collect().map(ts => ts.term -> ts).toMap
+      val missing = qts.map(_.term).filterNot(tsCache.contains)
+      if (missing.nonEmpty) {
+        val buckets = missing.map(termBucket(_, nTermBuckets)).distinct
+        // single-stage job: the per-(shard, term) rows are few (committed
+        // shards × query terms); sum/max them driver-side
+        val rows = termstatsDF
+          .filter($"shard".isin(committed.toSeq: _*) &&
+            $"bucket".isin(buckets: _*) && $"term".isin(missing: _*))
+          .select($"term", $"shard".cast("int").as("shard"), $"df", $"max_tfsat")
+          .as[(String, Int, Long, Double)].collect()
+        val found = rows.groupBy(_._1).map { case (t, rs) =>
+          t -> TermStat(t, rs.map(_._3).sum,
+            rs.map(r => r._4 * factors.getOrElse(r._2, 1.0)).max)
+        }
+        missing.foreach(t => tsCache.put(t, found.get(t)))
+      }
       qts.flatMap { qt =>
-        stats.get(qt.term).map(ts =>
+        tsCache(qt.term).map(ts =>
           TermInfo(qt.term, qt.qtf, ts.df, idf(nDocs, ts.df), ts.max_tfsat))
       }
     }
 
-    /** Pruned posting-block scan: bucket dirs + term min-max row groups.
-      * Each block's max_tfsat is inflated by its shard's avgdl-drift factor
-      * so WAND pruning stays safe on indexes appended under an older avgdl
+    /** Pruned posting-block scan: bucket dirs + term min-max row groups —
+      * the bucket set is computed driver-side (no job). Each block's
+      * max_tfsat is inflated by its shard's avgdl-drift factor so WAND
+      * pruning stays safe on indexes appended under an older avgdl
       * (resume waves, streaming segments). */
     private def loadBlocks(terms: Seq[String]): Dataset[PostingBlock] = {
-      val buckets = terms.toDF("t")
-        .select(pmod(xxhash64($"t"), lit(nTermBuckets)).cast("int").as("b"))
-        .distinct().as[Int].collect().toSeq
-      val factors = InvertedIndex.avgdlBuild(spark, dir)
-      val fMap = map(factors.toSeq.flatMap { case (sh, av) =>
-        Seq(lit(sh), lit(math.max(1.0, avgdl / av)))
+      val buckets = terms.map(termBucket(_, nTermBuckets)).distinct
+      val fMap = map(factors.toSeq.flatMap { case (sh, f) =>
+        Seq(lit(sh), lit(f))
       }: _*)
-      spark.read.parquet(s"$dir/postings")
-        .filter($"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
+      postingsDF
+        .filter($"shard".isin(committed.toSeq: _*) &&
+          $"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
         .withColumn("max_tfsat",
           $"max_tfsat" * coalesce(element_at(fMap, $"shard".cast("int")), lit(1.0)))
         .select($"shard".cast("int").as("shard"), $"term", $"salt", $"block_id",
@@ -129,10 +186,17 @@ object Bm25 {
       else scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
     }
 
-    /** Block-max pruned top-k — result-identical to [[topk]]. */
+    /** Block-max pruned top-k — result-identical to [[topk]].
+      *
+      * Adaptive: below [[WandCutoff]] total postings the theta-bounding job
+      * costs more wall-clock than the pruning saves, so the query runs the
+      * exhaustive single-pass plan (identical results — WAND with
+      * theta = −inf prunes nothing). Above it, block-max pruning pays. */
     def topkWand(q: String, k: Int): DataFrame = {
       val infos = termInfos(q)
       if (infos.isEmpty) return emptyResult(spark)
+      if (infos.map(_.df).sum < wandCutoff)
+        return scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
       val blocks = loadBlocks(infos.map(_.term))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

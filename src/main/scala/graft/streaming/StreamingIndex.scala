@@ -42,7 +42,9 @@ object StreamingIndex {
                     batchId: Long, p: BuildParams): Unit = {
     import spark.implicits._
     val seg = SegmentBase + batchId.toInt
-    if (InvertedIndex.committedShards(spark, dir).contains(seg)) return
+    val committed = InvertedIndex.committedShards(spark, dir)
+    if (committed.contains(seg)) return
+    InvertedIndex.writeParamsIfAbsent(spark, dir, p)
 
     // every doc in this segment lands in this segment's shard id
     val tokenized = IndexBuild.tokenize(batch, p.copy(numShards = 1))
@@ -54,8 +56,10 @@ object StreamingIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(s"$dir/docstats")
 
-    // avgdl over everything indexed so far INCLUDING this segment
+    // avgdl over everything indexed so far INCLUDING this segment — but
+    // never counting leftovers of a crashed, uncommitted segment
     val allDoc = spark.read.parquet(s"$dir/docstats")
+      .filter($"shard".isin((committed + seg).toSeq: _*))
     val tot = allDoc.agg(count(lit(1)), sum($"doclen")).head()
     val avgdl = tot.getLong(1).toDouble / math.max(tot.getLong(0), 1L)
     val segStats = allDoc.filter($"shard" === seg)

@@ -109,8 +109,19 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("driver-side term bucket is bit-identical to the Column form") {
+    val terms = (1 to 200).map(i => Synth.word(i)) ++
+      Seq("the0", "timezone", "ütf8", "", "a b", "ñ", "中文")
+    val got = terms.map(t => Bm25.termBucket(t, params.nTermBuckets))
+    val want = terms.toDF("t")
+      .select(pmod(xxhash64($"t"), lit(params.nTermBuckets)).cast("int"))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
+
   test("WAND path is result-identical to exhaustive path") {
-    val h = Bm25.open(spark, indexDir, params.nTermBuckets)
+    // wandCutoff = 0 forces the theta-pruning path even on this tiny index
+    val h = Bm25.open(spark, indexDir, params.nTermBuckets).copy(wandCutoff = 0L)
     val queries = Synth.refTitles.toSeq ++ Seq(
       "w1 w2 w3", "the0 w5 w40", "w1 the0", "w7", "w100 w200 w3000",
       "w1 w1 w2" /* duplicate query term → qtf=2 */)
@@ -154,11 +165,16 @@ class IndexSpec extends SparkSpec {
     }
   }
 
-  test("salted build produces identical postings to unsalted") {
+  test("salted build produces identical postings to unsalted; block " +
+    "invariants hold with per-task state bounded by targetPerSalt") {
     val nSmall = 400
     val pagesDs = Synth.pages(spark, nSmall, Seed, 4)
     val dirSalted = tmpDir("idx-salt")
     val dirPlain = tmpDir("idx-plain")
+    // targetPerSalt = 10 is deliberately TINY: a hot term here fans out to
+    // dozens of range-salt runs, the configuration that would have OOM'd a
+    // buffering merge — the build must stay correct with per-task encode
+    // state of ~10 postings.
     val pSalt = BuildParams(numShards = 1, blockSize = 8,
       saltThreshold = 5, targetPerSalt = 10, nTermBuckets = 4)
     val pPlain = pSalt.copy(saltThreshold = Long.MaxValue)
@@ -171,12 +187,31 @@ class IndexSpec extends SparkSpec {
         .as[(String, Long, Int, Int)].collect().toSet
 
     assert(decoded(dirSalted) == decoded(dirPlain))
-    // block structure after the segment merge must also be identical:
-    // same (term, block_id, first_doc, last_doc, n_docs) everywhere
-    def blockMeta(dir: String) =
-      InvertedIndex.postings(spark, dir)
-        .select($"term", $"block_id", $"first_doc", $"last_doc", $"n_docs")
-        .as[(String, Int, Long, Long, Int)].collect().toSet
-    assert(blockMeta(dirSalted) == blockMeta(dirPlain))
+
+    // salting is exercised: the salted index really has multi-salt terms
+    val salts = InvertedIndex.postings(spark, dirSalted)
+      .groupBy($"term").agg(countDistinct($"salt").as("ns"))
+      .agg(max($"ns")).as[Long].head()
+    assert(salts > 1, s"expected salted terms, max salt count = $salts")
+
+    // block invariants (block layout is salt-dependent by design — range
+    // salting replaces the merge stage — so instead of byte-identical
+    // blocks we assert everything queries rely on):
+    val blocks = InvertedIndex.postings(spark, dirSalted).collect()
+    for (b <- blocks) {
+      val ps = IndexBuild.decodeBlock(b).toSeq
+      assert(ps.length == b.n_docs && b.n_docs <= pSalt.blockSize)
+      assert(ps.head.doc_id == b.first_doc && ps.last.doc_id == b.last_doc)
+      assert(ps.map(_.doc_id) == ps.map(_.doc_id).sorted)
+      assert(ps.map(_.tf).max == b.max_tf)
+    }
+    // per-term: block doc ranges are pairwise disjoint and ordered by
+    // (salt, block_id) — the layout property that makes merge free
+    for ((_, bs) <- blocks.groupBy(b => (b.shard, b.term))) {
+      val ordered = bs.sortBy(b => (b.salt, b.block_id))
+      for (Seq(x, y) <- ordered.toSeq.sliding(2) if ordered.length > 1)
+        assert(x.last_doc < y.first_doc,
+          s"overlap: ${x.term} [${x.salt}/${x.block_id}] ${x.last_doc} >= ${y.first_doc}")
+    }
   }
 }

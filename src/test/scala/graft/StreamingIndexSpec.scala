@@ -49,8 +49,10 @@ class StreamingIndexSpec extends SparkSpec {
       val streamed = h.topk(query, 10).as[(Long, Double)].collect().toSeq
       val batch = hb.topk(query, 10).as[(Long, Double)].collect().toSeq
       assert(streamed.map(_._1) == batch.map(_._1), s"'$query': $streamed vs $batch")
-      // WAND over drifted segments must still equal exhaustive
-      val wand = h.topkWand(query, 10).as[(Long, Double)].collect().toSeq
+      // WAND over drifted segments must still equal exhaustive (cutoff 0
+      // forces the pruning path on this tiny index)
+      val wand = h.copy(wandCutoff = 0L)
+        .topkWand(query, 10).as[(Long, Double)].collect().toSeq
       assert(wand == streamed, s"wand drift for '$query'")
     }
 
