@@ -104,6 +104,9 @@ object SparkEntry {
     // --- the reference's own search modality: LSH probe + Jaccard re-rank
     "q_minhash_search" -> ((s, d) =>
       graft.ops.MinHashSearch.search(docs(s, d), mhQueries, 10)),
+    // --- the reference's forest variant: longest-prefix LSH probe + rerank
+    "q_forest_topk" -> ((s, d) =>
+      graft.ops.MinHashSearch.forestTopK(docs(s, d), mhQueries, 10)),
     // --- evaluation harness (reference results.py): hit rates per engine
     //     and query variant; rows-only (the perturbation is seeded Scala)
     "q_eval_hitrate" -> ((s, d) => graft.ops.Evaluate.hitRates(docs(s, d))),
@@ -466,6 +469,40 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, doc_id) AS rank
          |           FROM jac)
          |SELECT query_id, rank, doc_id, jaccard FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_forest_topk" ->
+      s"""WITH $TOKS, $MH,
+         |rr AS (SELECT unnest(range(1, 9)) AS r),
+         |pref AS (SELECT doc_id, rr.r, md5(string_agg(minhash, ',' ORDER BY seed)) AS ph
+         |         FROM mh CROSS JOIN rr WHERE mh.seed < rr.r GROUP BY 1, 2),
+         |qt AS (SELECT query_id::BIGINT AS query_id, term
+         |       FROM (VALUES $mhQueryValues) t(query_id, term)),
+         |qsig AS (SELECT query_id, s.seed,
+         |         min(substr(md5(s.seed::VARCHAR || ':' || qt.term), 1, 16)) AS minhash
+         |         FROM qt CROSS JOIN (SELECT unnest(range(8)) AS seed) s GROUP BY 1, 2),
+         |qpref AS (SELECT query_id, rr.r, md5(string_agg(minhash, ',' ORDER BY seed)) AS ph
+         |          FROM qsig CROSS JOIN rr WHERE qsig.seed < rr.r GROUP BY 1, 2),
+         |cand AS (SELECT q.query_id, d.doc_id, max(q.r) AS depth
+         |         FROM qpref q JOIN pref d ON d.r = q.r AND d.ph = q.ph
+         |         GROUP BY 1, 2),
+         |dtok AS (SELECT DISTINCT doc_id, term FROM toks),
+         |dsize AS (SELECT doc_id, count(*) AS dn FROM dtok GROUP BY 1),
+         |qsize AS (SELECT query_id, count(*) AS qn FROM qt GROUP BY 1),
+         |inter AS (SELECT c.query_id, c.doc_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN dtok d ON d.doc_id = c.doc_id
+         |          JOIN qt ON qt.query_id = c.query_id AND qt.term = d.term
+         |          GROUP BY 1, 2),
+         |jac AS (SELECT c.query_id, c.doc_id, c.depth,
+         |        round(coalesce(i.i, 0) * 1.0 / (qs.qn + ds.dn - coalesce(i.i, 0)), 6) AS jaccard
+         |        FROM cand c
+         |        LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+         |        JOIN dsize ds ON ds.doc_id = c.doc_id
+         |        JOIN qsize qs ON qs.query_id = c.query_id),
+         |ranked AS (SELECT query_id, doc_id, depth, jaccard,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY depth DESC, jaccard DESC, doc_id) AS rank
+         |           FROM jac)
+         |SELECT query_id, rank, doc_id, depth, jaccard FROM ranked WHERE rank <= 10""".stripMargin,
     "q_events_window" ->
       """SELECT event_type, (floor(epoch(ts) / 300))::BIGINT AS bucket,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

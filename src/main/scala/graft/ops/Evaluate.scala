@@ -48,9 +48,14 @@ object Evaluate {
     val qs = selfQueries(docs)
     val qset = qs.map(q => (q.query_id.toInt, q.query))
 
-    // engine 1: MinHash-LSH + Jaccard re-rank
+    // engine 1: MinHash-LSH (fixed bands) + Jaccard re-rank
     val mh = MinHashSearch.search(docs, qset, k)
       .select($"query_id", $"doc_id").withColumn("engine", lit("minhash_lsh"))
+
+    // engine 1b: MinHash-LSH FOREST (longest-prefix probe; reference
+    // index.py:55-62) — the reference's other index variant
+    val forest = MinHashSearch.forestTopK(docs, qset, k)
+      .select($"query_id", $"doc_id").withColumn("engine", lit("minhash_forest"))
 
     // engine 2: brute BM25 over the documents table (per-query term scoring)
     val qterms = qs.flatMap(q =>
@@ -79,7 +84,7 @@ object Evaluate {
     // denominator = the full query count per variant, NOT the queries that
     // happened to return results (a zero-candidate query is a miss)
     val nq = expect.groupBy($"variant").agg(count(lit(1)).as("n_queries"))
-    mh.union(bm)
+    mh.union(forest).union(bm)
       .join(broadcast(expect), "query_id")
       .groupBy($"engine", $"variant")
       .agg(sum(when($"doc_id" === $"expect_doc", 1).otherwise(0)).as("hits"))

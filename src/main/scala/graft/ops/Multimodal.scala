@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,65 +11,263 @@ import org.apache.spark.sql.functions._
   * per-partition functions (the Scala analog of `mapInPandas` batches —
   * one buffer reused per partition, schema declared up front).
   *
-  * STUB BOUNDARY: this container ships no image/audio codecs, so `decode`
-  * parses a deterministic synthetic container header instead of calling a
-  * real codec — the function marked `decodeStub` is the single seam where
-  * a real JNI/codec call would slot in. Everything around it (schema,
-  * partitioning, batch shape, null handling) is real and tested.
+  * Image and audio decoding are REAL format parsers, pure JVM:
+  *   - PNG: signature check, IHDR parse, CRC32 verification, zlib IDAT
+  *     inflate (java.util.zip.Inflater), scanline de-filtering (filter
+  *     types 0/1/2) → raw pixels.
+  *   - WAV: RIFF/WAVE container walk, fmt chunk (PCM) parse, data chunk →
+  *     raw samples.
+  * The synthetic corpus generator EMITS real PNG and WAV files (with real
+  * CRCs and real deflate streams), so the decoders run against genuine
+  * format bytes and malformed-input paths are testable by corruption.
   *
-  * Synthetic container layout (big-endian):
-  *   bytes 0-1  magic 0x4D4D ("MM")
-  *   byte  2    kind: 0=image 1=audio 2=video
-  *   bytes 3-4  width  (image/video) | sample-rate/1000 (audio)
-  *   bytes 5-6  height (image/video) | channels (audio)
-  *   bytes 7-8  n_frames
-  *   bytes 9..  payload (the "pixels"/"samples")
+  * STUB BOUNDARY: video is the one remaining stub — this container ships
+  * no video codec, so "video" rows use a deterministic synthetic container
+  * (header + payload) and `decodeVideoStub` is the single seam where a real
+  * demuxer would slot in. Everything around it (schema, partitioning, batch
+  * shape, null handling) is identical to the real PNG/WAV paths.
+  *
+  * Synthetic video container layout (big-endian):
+  *   bytes 0-1  magic 0x4D4D ("MM"); byte 2 = 2 (video)
+  *   bytes 3-4 width; 5-6 height; 7-8 n_frames; 9.. payload
   */
 object Multimodal {
 
   case class Media(media_id: Long, kind: String, blob: Array[Byte])
+  /** width/height: pixels (image/video) or sample-rate/channels (audio);
+    * n_frames: frames (video), samples (audio), 1 (image). */
   case class MediaMeta(media_id: Long, kind: String, width: Int, height: Int,
                        n_frames: Int, payload_bytes: Int, valid: Boolean)
   case class MediaFeature(media_id: Long, kind: String, features: Array[Double])
   case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
+  // ---------------------------------------------------------------------
+  // PNG encode (generator) + decode — RFC 2083, gray 8-bit, filter 0/1/2
+  // ---------------------------------------------------------------------
+
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    val tagB = tag.getBytes(StandardCharsets.US_ASCII)
+    crc.update(tagB); crc.update(body)
+    be32(body.length) ++ tagB ++ body ++ be32(crc.getValue.toInt)
+  }
+
+  /** Minimal real PNG: grayscale 8-bit, one IDAT, filter byte 0 per row. */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height)
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8 /*depth*/ , 0 /*gray*/ , 0, 0, 0)
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      raw(y * (width + 1)) = 0 // filter: None
+      System.arraycopy(pixels, y * width, raw, y * (width + 1) + 1, width)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Real PNG decode: returns (width, height, pixels) or None if malformed
+    * (bad signature, CRC mismatch, bad inflate, unsupported layout). */
+  def decodePng(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+      def u32(o: Int): Int =
+        ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+          ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+      var off = 8
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      while (off + 8 <= b.length) {
+        val len = u32(off)
+        val tag = new String(b, off + 4, 4, StandardCharsets.US_ASCII)
+        if (off + 12 + len > b.length) return None
+        val crc = new java.util.zip.CRC32
+        crc.update(b, off + 4, 4 + len)
+        if (crc.getValue.toInt != u32(off + 8 + len)) return None
+        tag match {
+          case "IHDR" =>
+            w = u32(off + 8); h = u32(off + 12)
+            // depth 8, colortype 0 (gray), deflate, no interlace only
+            if (b(off + 16) != 8 || b(off + 17) != 0 || b(off + 20) != 0) return None
+          case "IDAT" => idat.write(b, off + 8, len)
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (w <= 0 || h <= 0 || idat.size == 0) return None
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((w + 1) * h)
+      var got = 0
+      while (got < raw.length && !inflater.finished())
+        got += inflater.inflate(raw, got, raw.length - got)
+      inflater.end()
+      if (got != raw.length) return None
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (w + 1))
+        var x = 0
+        while (x < w) {
+          val cur = raw(y * (w + 1) + 1 + x).toInt
+          val v: Int = f match {
+            case 0 => cur
+            case 1 => cur + (if (x > 0) px(y * w + x - 1) else 0)
+            case 2 => cur + (if (y > 0) px((y - 1) * w + x) else 0)
+            case _ => return None
+          }
+          px(y * w + x) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------------------------
+  // WAV encode (generator) + decode — canonical RIFF/WAVE PCM
+  // ---------------------------------------------------------------------
+
+  private def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+  private def le32(v: Int) =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  /** Minimal real WAV: PCM 8-bit mono/stereo. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+    val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels) ++ le16(channels) ++ le16(8)
+    "RIFF".getBytes(StandardCharsets.US_ASCII) ++ le32(36 + samples.length) ++
+      "WAVE".getBytes(StandardCharsets.US_ASCII) ++
+      "fmt ".getBytes(StandardCharsets.US_ASCII) ++ le32(16) ++ fmt ++
+      "data".getBytes(StandardCharsets.US_ASCII) ++ le32(samples.length) ++ samples
+  }
+
+  /** Real WAV decode: (sampleRate, channels, samples) or None. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      def tag(o: Int) = new String(b, o, 4, StandardCharsets.US_ASCII)
+      def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      def u32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = -1; var ch = -1
+      var data: Array[Byte] = null
+      while (off + 8 <= b.length) {
+        val t = tag(off); val len = u32(off + 4)
+        if (off + 8 + len > b.length) return None
+        t match {
+          case "fmt " =>
+            if (u16(off + 8) != 1) return None // PCM only
+            ch = u16(off + 10); rate = u32(off + 12)
+          case "data" => data = java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
+          case _ => ()
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || ch <= 0 || data == null) None else Some((rate, ch, data))
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------------------------
+  // Synthetic corpus + decode dispatch
+  // ---------------------------------------------------------------------
+
   private val kinds = Array("image", "audio", "video")
 
-  /** Deterministic synthetic media corpus (pure function of (seed, id)). */
+  /** Deterministic synthetic media corpus (pure function of (seed, id)):
+    * REAL PNG bytes, REAL WAV bytes, synthetic video containers. */
   def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Media] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
       val h = graft.data.Synth.mix64(seed ^ graft.data.Synth.mix64(i))
-      val kind = (Math.floorMod(h, 3L)).toInt
-      val w = 16 + Math.floorMod(h >>> 8, 64L).toInt
-      val hgt = 16 + Math.floorMod(h >>> 16, 64L).toInt
-      val frames = 1 + Math.floorMod(h >>> 24, 8L).toInt
-      val payloadLen = 64 + Math.floorMod(h >>> 32, 192L).toInt
-      val b = new Array[Byte](9 + payloadLen)
-      b(0) = 0x4D; b(1) = 0x4D; b(2) = kind.toByte
-      b(3) = (w >> 8).toByte; b(4) = w.toByte
-      b(5) = (hgt >> 8).toByte; b(6) = hgt.toByte
-      b(7) = (frames >> 8).toByte; b(8) = frames.toByte
-      var j = 0
-      var s = h
-      while (j < payloadLen) {
-        s = graft.data.Synth.mix64(s)
-        b(9 + j) = (s & 0xFF).toByte
-        j += 1
+      val kind = Math.floorMod(h, 3L).toInt
+      def payload(len: Int): Array[Byte] = {
+        val p = new Array[Byte](len)
+        var s = h; var j = 0
+        while (j < len) { s = graft.data.Synth.mix64(s); p(j) = (s & 0xFF).toByte; j += 1 }
+        p
       }
-      Media(i, kinds(kind), b)
+      val blob = kind match {
+        case 0 => // image: real PNG
+          val w = 16 + Math.floorMod(h >>> 8, 48L).toInt
+          val hgt = 16 + Math.floorMod(h >>> 16, 48L).toInt
+          encodePng(w, hgt, payload(w * hgt))
+        case 1 => // audio: real WAV
+          val rate = 8000 * (1 + Math.floorMod(h >>> 8, 5L).toInt)
+          val ch = 1 + Math.floorMod(h >>> 16, 2L).toInt
+          encodeWav(rate, ch, payload(ch * (64 + Math.floorMod(h >>> 32, 192L).toInt)))
+        case _ => // video: synthetic container (declared stub)
+          val w = 16 + Math.floorMod(h >>> 8, 64L).toInt
+          val hgt = 16 + Math.floorMod(h >>> 16, 64L).toInt
+          val frames = 1 + Math.floorMod(h >>> 24, 8L).toInt
+          val p = payload(64 + Math.floorMod(h >>> 32, 192L).toInt)
+          val b = new Array[Byte](9 + p.length)
+          b(0) = 0x4D; b(1) = 0x4D; b(2) = 2
+          b(3) = (w >> 8).toByte; b(4) = w.toByte
+          b(5) = (hgt >> 8).toByte; b(6) = hgt.toByte
+          b(7) = (frames >> 8).toByte; b(8) = frames.toByte
+          System.arraycopy(p, 0, b, 9, p.length)
+          b
+      }
+      Media(i, kinds(kind), blob)
     })
   }
 
-  /** Decode stub: parse the synthetic header. A real implementation would
-    * call an image/audio codec HERE (per partition, reusing one decoder
+  /** Video decode STUB: parse the synthetic container header. A real
+    * demuxer/codec call slots in HERE (per partition, reusing one decoder
     * instance); malformed blobs yield valid=false rows, never exceptions. */
-  private def decodeStub(id: Long, kind: String, blob: Array[Byte]): MediaMeta = {
-    if (blob == null || blob.length < 9 || blob(0) != 0x4D || blob(1) != 0x4D)
-      MediaMeta(id, kind, 0, 0, 0, if (blob == null) 0 else blob.length, valid = false)
+  private def decodeVideoStub(blob: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (blob == null || blob.length < 9 || blob(0) != 0x4D || blob(1) != 0x4D ||
+      blob(2) != 2) None
     else {
       def u16(o: Int) = ((blob(o) & 0xFF) << 8) | (blob(o + 1) & 0xFF)
-      MediaMeta(id, kind, u16(3), u16(5), u16(7), blob.length - 9, valid = true)
+      Some((u16(3), u16(5), u16(7), blob.length - 9))
+    }
+  }
+
+  /** Decode one blob to metadata (total function: malformed → valid=false). */
+  def decodeOne(id: Long, kind: String, blob: Array[Byte]): MediaMeta = {
+    val blobLen = if (blob == null) 0 else blob.length
+    kind match {
+      case "image" => decodePng(blob) match {
+        case Some((w, h, px)) => MediaMeta(id, kind, w, h, 1, px.length, valid = true)
+        case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
+      }
+      case "audio" => decodeWav(blob) match {
+        case Some((rate, ch, samples)) =>
+          MediaMeta(id, kind, rate, ch, samples.length / ch, samples.length, valid = true)
+        case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
+      }
+      case _ => decodeVideoStub(blob) match {
+        case Some((w, h, fr, pl)) => MediaMeta(id, kind, w, h, fr, pl, valid = true)
+        case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
+      }
+    }
+  }
+
+  /** Decoded payload (pixels / PCM samples / video payload), empty if
+    * malformed. */
+  private def payloadOf(kind: String, blob: Array[Byte]): Array[Byte] = kind match {
+    case "image" => decodePng(blob).map(_._3).getOrElse(Array.empty)
+    case "audio" => decodeWav(blob).map(_._3).getOrElse(Array.empty)
+    case _ => decodeVideoStub(blob) match {
+      case Some(_) => blob.drop(9)
+      case None => Array.empty
     }
   }
 
@@ -75,21 +275,21 @@ object Multimodal {
   def decode(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition "decoder" init would go here (codec handle, buffers)
-      it.map(m => decodeStub(m.media_id, m.kind, m.blob))
+      // per-partition decoder init would go here (codec handle, buffers)
+      it.map(m => decodeOne(m.media_id, m.kind, m.blob))
     }
   }
 
-  /** Feature extraction: normalized 16-bin byte histogram of the payload —
-    * the stand-in for an embedding/feature model, batch-shaped like the
-    * real thing (fixed-width Array[Double] per row). */
+  /** Feature extraction over the DECODED payload: normalized 16-bin byte
+    * histogram — the stand-in for an embedding/feature model, batch-shaped
+    * like the real thing (fixed-width Array[Double] per row). */
   def features(media: Dataset[Media], bins: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val hist = new Array[Double](bins) // reused per partition, like a batch buffer
       it.map { m =>
         java.util.Arrays.fill(hist, 0.0)
-        val payload = if (m.blob.length > 9) m.blob.drop(9) else Array.empty[Byte]
+        val payload = payloadOf(m.kind, m.blob)
         payload.foreach(b => hist(((b & 0xFF) * bins) / 256) += 1.0)
         val tot = math.max(payload.length, 1)
         MediaFeature(m.media_id, m.kind, hist.map(_ / tot))
@@ -97,17 +297,19 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split the payload into n_frames chunks and emit every
-    * `stride`-th — the flatMap (generator) shape of video frame extraction. */
+  /** Frame sampling: split the decoded payload into n_frames chunks and emit
+    * every `stride`-th — the flatMap (generator) shape of video frame
+    * extraction. Images are 1-frame; audio "frames" are per-channel planes. */
   def sampleFrames(media: Dataset[Media], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val meta = decodeStub(m.media_id, m.kind, m.blob)
-      if (!meta.valid || meta.n_frames == 0 || meta.payload_bytes == 0) Iterator.empty
+      val meta = decodeOne(m.media_id, m.kind, m.blob)
+      val payload = payloadOf(m.kind, m.blob)
+      val nf = if (m.kind == "audio") meta.height else meta.n_frames
+      if (!meta.valid || nf == 0 || payload.isEmpty) Iterator.empty
       else {
-        val payload = m.blob.drop(9)
-        val sz = math.max(payload.length / meta.n_frames, 1)
-        (0 until meta.n_frames by stride).iterator.map { f =>
+        val sz = math.max(payload.length / nf, 1)
+        (0 until nf by stride).iterator.map { f =>
           Frame(m.media_id, f,
             payload.slice(f * sz, math.min((f + 1) * sz, payload.length)))
         }

@@ -5,22 +5,87 @@ import graft.ops.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PNG round-trip: encode → decode recovers exact pixels; corruption " +
+    "fails CRC") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(50); val h = 1 + rnd.nextInt(50)
+      val px = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, px)
+      val Some((dw, dh, dpx)) = Multimodal.decodePng(png)
+      assert(dw == w && dh == h && dpx.sameElements(px))
+      // flip one IDAT byte → CRC check must reject
+      val bad = png.clone(); bad(40) = (bad(40) ^ 0xFF).toByte
+      assert(Multimodal.decodePng(bad).isEmpty)
+    }
+    // a real-world-style PNG with filter types 1 (Sub) and 2 (Up) decodes:
+    // hand-build raw scanlines and deflate them
+    val (w, h) = (4, 3)
+    val raw = Array[Byte](
+      1, 10, 5, 5, 5, // Sub: 10,15,20,25
+      2, 1, 1, 1, 1, // Up:  11,16,21,26
+      0, 9, 9, 9, 9) // None
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    val body = out.toByteArray
+    // reuse encoder for signature+IHDR, then splice our IDAT via public API:
+    val shell = Multimodal.encodePng(w, h, new Array[Byte](w * h))
+    // decode of the spliced stream is covered by decodePng's own chunk walk;
+    // simplest: construct via the same chunk layout the encoder uses
+    val sig = shell.take(8 + 12 + 13) // signature + IHDR chunk (13-byte body)
+    def chunkBytes(tag: String, b: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes); crc.update(b)
+      val len = b.length
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        tag.getBytes ++ b ++ {
+          val v = crc.getValue.toInt
+          Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        }
+    }
+    val spliced = sig ++ chunkBytes("IDAT", body) ++ chunkBytes("IEND", Array.empty)
+    val Some((_, _, px)) = Multimodal.decodePng(spliced)
+    assert(px.take(8).toSeq == Seq[Byte](10, 15, 20, 25, 11, 16, 21, 26))
+  }
+
+  test("WAV round-trip: encode → decode recovers rate/channels/samples") {
+    val samples = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val wav = Multimodal.encodeWav(16000, 2, samples)
+    val Some((rate, ch, got)) = Multimodal.decodeWav(wav)
+    assert(rate == 16000 && ch == 2 && got.sameElements(samples))
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
+    val bad = wav.clone(); bad(0) = 'X'
+    assert(Multimodal.decodeWav(bad).isEmpty)
+  }
+
   test("decode parses every synthetic blob; malformed blobs degrade to valid=false") {
     val media = Multimodal.synthMedia(spark, 500, 42L)
     val meta = Multimodal.decode(media)
     assert(meta.count() == 500)
     assert(meta.filter(_.valid).count() == 500)
-    assert(meta.filter(m => m.width < 16 || m.width >= 80).count() == 0)
+    // per-kind metadata ranges from the generator
+    meta.collect().foreach { m =>
+      m.kind match {
+        case "image" => assert(m.width >= 16 && m.width < 64 && m.n_frames == 1)
+        case "audio" => assert(m.width >= 8000 && m.width <= 40000 &&
+          (m.height == 1 || m.height == 2))
+        case "video" => assert(m.width >= 16 && m.width < 80 && m.n_frames >= 1)
+      }
+    }
 
     val broken = Seq(
       Multimodal.Media(1L, "image", Array[Byte](1, 2, 3)),
       Multimodal.Media(2L, "image", null),
-      Multimodal.Media(3L, "audio", Array.fill[Byte](20)(0))).toDS()
+      Multimodal.Media(3L, "audio", Array.fill[Byte](20)(0)),
+      Multimodal.Media(4L, "video", Array.fill[Byte](5)(0x4D))).toDS()
     val bm = Multimodal.decode(broken).collect()
     assert(bm.forall(!_.valid))
   }
 
-  test("features are normalized fixed-width vectors") {
+  test("features are normalized fixed-width vectors over the DECODED payload") {
     val f = Multimodal.features(Multimodal.synthMedia(spark, 200, 42L)).collect()
     assert(f.forall(_.features.length == 16))
     f.foreach(x => assert(math.abs(x.features.sum - 1.0) < 1e-9))
@@ -32,7 +97,9 @@ class MultimodalSpec extends SparkSpec {
     val byId = frames.collect().groupBy(_.media_id)
     val metas = Multimodal.decode(media).collect().map(m => m.media_id -> m).toMap
     byId.foreach { case (id, fs) =>
-      val expect = (0 until metas(id).n_frames by 2).toSet
+      val m = metas(id)
+      val nf = if (m.kind == "audio") m.height else m.n_frames
+      val expect = (0 until nf by 2).toSet
       assert(fs.map(_.frame_no).toSet == expect)
       assert(fs.forall(_.frame.nonEmpty))
     }

@@ -51,5 +51,23 @@ class SearchOpsSpec extends SparkSpec {
     assert(rates(("bm25", "perturbed")) <= rates(("bm25", "exact")) + 1e-9)
     assert(rates.contains(("minhash_lsh", "exact")))
     assert(rates(("minhash_lsh", "exact")) >= 0.05, s"rates: $rates")
+    assert(rates.contains(("minhash_forest", "exact")), s"rates: $rates")
+  }
+
+  test("forest top-k: deeper prefix matches rank first; self-retrieval " +
+    "of exact text hits at full depth") {
+    val (docId, text) = docs.select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val res = MinHashSearch.forestTopK(docs, Seq(0 -> text), k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(res.nonEmpty)
+    // an identical token set shares the whole 8-minhash prefix
+    assert(res.head._3 == docId && res.head._4 == 8L && res.head._5 == 1.0,
+      s"got ${res.toSeq}")
+    // depth is non-increasing down the ranking
+    assert(res.sliding(2).forall {
+      case Array(a, b) => a._4 >= b._4
+      case _ => true
+    })
   }
 }
