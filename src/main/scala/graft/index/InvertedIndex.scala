@@ -14,7 +14,6 @@ import graft.data.Page
   *        sorted by term within files → Parquet min-max prunes term lookups;
   *        bucket = pmod(xxhash64(term), nTermBuckets) → directory pruning)
   *   <dir>/docstats/shard=<s>/                        (doc_id, url, doclen)
-  *   <dir>/termstats/shard=<s>/                       (term, df, max_tfsat) per shard
   *   <dir>/corpus/shard=<s>/                          (n_docs, sum_dl) per shard
   *   <dir>/manifest/                                  (append-only commit log)
   *
@@ -94,6 +93,16 @@ object InvertedIndex {
     *      commit marker — so readers filtering by committed shards (Bm25
     *      .open) never see a torn wave.
     */
+  /** Per-phase wall-clock trace of the last build (stderr + inspectable) —
+    * the feedback loop for the scaling-efficiency work: fixed (non-scaling)
+    * phases show up directly here. */
+  private def phaseTimed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[build] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
+  }
+
   def build(spark: SparkSession, pages: Dataset[Page], dir: String,
             p: BuildParams = BuildParams()): Int = {
     import spark.implicits._
@@ -109,17 +118,37 @@ object InvertedIndex {
     // intermediates are materialized to scratch Parquet instead (also the
     // only pattern that works at 100 TB).
     val scratch = s"$dir/_scratch_tok"
-    IndexBuild.tokenize(pages, p)
+    phaseTimed("tokenize+scratch")(IndexBuild.tokenize(pages, p)
       .filter($"shard".isin(todo: _*))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(scratch)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(scratch))
     val tokenized = spark.read.parquet(scratch)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
 
     // Corpus stats over ALL shards (done + todo) — avgdl must be
     // corpus-global and identical on resume. Todo shards from a column-
     // pruned scratch agg; done shards from their committed corpus rows.
-    val todoStats = tokenized.groupBy($"shard")
+    // Submitted CONCURRENTLY with the hot-term sample below: both are small
+    // driver-blocking jobs whose wall-clock is dominated by per-job latency,
+    // not compute — overlapping them halves the serial fraction they add.
+    val todoStatsF = Future(phaseTimed("corpus-agg")(tokenized.groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-      .as[(Int, Long, Long)].collect()
+      .as[(Int, Long, Long)].collect()))
+
+    // Hot-term sketch from the 1/SampleMod doc sample: per-term token counts
+    // (Σtf ≥ df upper-bounds the posting count, which is what salting must
+    // bound), scaled back up. ~|vocab| groups → map-side partial agg.
+    val hotDfF = Future(phaseTimed("hot-term-sample")(tokenized
+      .filter(pmod(xxhash64($"doc_id"), lit(SampleMod)) === 0)
+      .select(explode($"tokens").as("term"))
+      .groupBy($"term")
+      .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))
+      .filter($"n_per_shard" > p.saltThreshold)
+      .as[(String, Long)].collect().toMap))
+
+    val todoStats = Await.result(todoStatsF, Duration.Inf)
     val doneStats: Array[(Int, Long, Long)] =
       if (done.isEmpty) Array.empty
       else spark.read.parquet(s"$dir/corpus")
@@ -128,6 +157,7 @@ object InvertedIndex {
     val nDocs = todoStats.map(_._2).sum + doneStats.map(_._2).sum
     val avgdl = (todoStats.map(_._3).sum + doneStats.map(_._3).sum).toDouble /
       math.max(nDocs, 1L)
+    val hotDf: Map[String, Long] = Await.result(hotDfF, Duration.Inf)
 
     // Token instances (tf=1 each). There is deliberately NO corpus-wide
     // (term, doc_id) aggregation: its group count ≈ corpus size degenerates
@@ -139,17 +169,6 @@ object InvertedIndex {
         explode($"tokens").as("term"), $"doc_id", lit(1).as("tf"), $"dl")
       .as[ShardPosting]
 
-    // Hot-term sketch from the 1/SampleMod doc sample: per-term token counts
-    // (Σtf ≥ df upper-bounds the posting count, which is what salting must
-    // bound), scaled back up. ~|vocab| groups → map-side partial agg.
-    val hotDf: Map[String, Long] = tokenized
-      .filter(pmod(xxhash64($"doc_id"), lit(SampleMod)) === 0)
-      .select(explode($"tokens").as("term"))
-      .groupBy($"term")
-      .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))
-      .filter($"n_per_shard" > p.saltThreshold)
-      .as[(String, Long)].collect().toMap
-
     // Waves. A wave of shards is ONE shuffle + ONE set of writes; its
     // shards commit together (all-or-nothing), so waveShards trades resume
     // granularity against per-job overhead. Default: all todo in one wave.
@@ -157,58 +176,62 @@ object InvertedIndex {
     var built = 0
     for (wave <- todo.grouped(waveSize)) {
       val t0 = System.nanoTime()
-      IndexBuild.buildShardPostings(tokenInstances(wave), hotDf, p, avgdl)
-        .withColumn("bucket",
-          pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
-        .repartition(col("shard"), col("bucket"))
-        .sortWithinPartitions($"term", $"salt", $"block_id")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard", "bucket")
-        .parquet(s"$dir/postings")
+      phaseTimed("postings-build")(
+        IndexBuild.buildShardPostings(tokenInstances(wave), hotDf, p, avgdl)
+          .withColumn("bucket",
+            pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
+          .repartition(col("shard"), col("bucket"))
+          .sortWithinPartitions($"term", $"salt", $"block_id")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard", "bucket")
+          .parquet(s"$dir/postings"))
 
       // stats read the files just written (vectorized scan beats re-running
-      // the build pipeline or caching it)
+      // the build pipeline or caching it). There is deliberately NO separate
+      // termstats table: per-term (df, max_tfsat) is derivable at query time
+      // from posting-block METADATA columns (blocks of a term are doc-range
+      // disjoint, so Σ n_docs = df) with the same bucket-dir + term min-max
+      // pruning the block scan uses — one less corpus-sized table to write,
+      // store, and keep transactionally consistent.
       val postings = spark.read.parquet(s"$dir/postings")
         .filter($"shard".isin(wave: _*))
-
-      // per-shard term stats (df + global max_tfsat for WAND bounds)
-      postings
-        .groupBy($"shard", $"term")
-        .agg(sum($"n_docs").as("df"), max($"max_tfsat").as("max_tfsat"))
-        .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
-        .repartition(col("shard"), col("bucket"))
-        .sortWithinPartitions($"term")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard", "bucket")
-        .parquet(s"$dir/termstats")
 
       // docstats: a column-pruned projection of the scratch (tokens column
       // never read). Dynamic overwrite touches only this wave's shards —
       // committed shards' files stay put (Iceberg analog: REPLACE
       // PARTITIONS). Written AFTER postings, BEFORE the manifest marker, so
       // a mid-wave crash leaves the wave entirely invisible to readers.
-      tokenized.filter($"shard".isin(wave: _*))
-        .select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(s"$dir/docstats")
+      // The three independent post-postings jobs run CONCURRENTLY (all must
+      // land before the commit marker; their mutual order is irrelevant).
+      val docstatsF = Future(phaseTimed("docstats")(
+        tokenized.filter($"shard".isin(wave: _*))
+          .select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard")
+          .parquet(s"$dir/docstats")))
 
-      todoStats.toSeq.filter(s => wave.contains(s._1))
-        .map { case (sh, n, sd) => CorpusShard(sh, n, sd, avgdl) }.toDS()
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("shard")
-        .parquet(s"$dir/corpus")
+      val corpusF = Future(phaseTimed("corpus-write")(
+        todoStats.toSeq.filter(s => wave.contains(s._1))
+          .map { case (sh, n, sd) => CorpusShard(sh, n, sd, avgdl) }.toDS()
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard")
+          .parquet(s"$dir/corpus")))
+
+      val statsF = Future(phaseTimed("manifest-stats")(
+        postings.groupBy($"shard").agg(
+          sum($"n_docs").as("rows"), count(lit(1)).as("blocks"),
+          sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb")).as("bytes"))
+          .collect()))
+
+      Await.result(docstatsF, Duration.Inf)
+      Await.result(corpusF, Duration.Inf)
+      val stats = Await.result(statsF, Duration.Inf)
 
       // commit markers — written LAST, after every write of the wave landed
       val waveSec = (System.nanoTime() - t0) / 1e9
-      val stats = postings.groupBy($"shard").agg(
-        sum($"n_docs").as("rows"), count(lit(1)).as("blocks"),
-        sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb")).as("bytes"))
-        .collect()
       stats.toSeq.map { r =>
         ManifestRow(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
           committed = true,

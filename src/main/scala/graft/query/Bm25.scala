@@ -73,9 +73,12 @@ object Bm25 {
   /** Open an index directory. ONE manifest read + ONE corpus read give the
     * committed-shard set, the corpus scalars, the per-shard avgdl-drift
     * factors, and the layout params (persisted at build, <dir>/params) —
-    * everything else a query needs is a pruned scan of the two cached
-    * DataFrames below (their file listings are computed once here, not per
-    * query). Uncommitted shards (a torn build wave) are invisible. */
+    * everything else a query needs is a pruned scan of the cached postings
+    * DataFrame (its file listing is computed once here, not per query).
+    * There is no termstats table at all: per-term (df, max_tfsat) comes from
+    * posting-block metadata columns under the same pruning (blocks of a term
+    * are doc-range disjoint, so Σ n_docs = df). Uncommitted shards (a torn
+    * build wave) are invisible. */
   def open(spark: SparkSession, dir: String, nTermBuckets: Int = 16): IndexHandle = {
     import spark.implicits._
     val p = InvertedIndex.readParams(spark, dir)
@@ -91,14 +94,13 @@ object Bm25 {
       sh -> math.max(1.0, avgdl / ab)
     }.toMap
     IndexHandle(spark, dir, n, avgdl, p.nTermBuckets, committed, factors,
-      spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/termstats"))
+      spark.read.parquet(s"$dir/postings"))
   }
 
   case class IndexHandle(spark: SparkSession, dir: String, nDocs: Long,
                          avgdl: Double, nTermBuckets: Int,
                          committed: Set[Int], factors: Map[Int, Double],
-                         postingsDF: DataFrame, termstatsDF: DataFrame,
+                         postingsDF: DataFrame,
                          /** Exhaustive-path cutoff: when the query's total
                            * posting count is below this, the separate
                            * theta-bounding job costs more than the pruning
@@ -113,20 +115,25 @@ object Bm25 {
     private val tsCache =
       scala.collection.concurrent.TrieMap.empty[String, Option[TermStat]]
 
-    /** k-row pruned scan of termstats for the query's terms (bucket-dir +
-      * term min-max pruned; committed shards only), cached per term. */
+    /** Per-term (df, max_tfsat) from posting-block METADATA columns — the
+      * same bucket-dir + Parquet term-min-max pruning the block scan uses,
+      * but reading only the three small metadata columns (never the varbyte
+      * payload: Parquet is columnar). Blocks of a term are doc-range
+      * disjoint (range salting), so Σ n_docs = df exactly. Aggregated to
+      * (term, shard) in Spark (block counts of a hot term can be huge at
+      * the design point), combined driver-side; cached per term. */
     def termInfos(q: String): Seq[TermInfo] = {
       val qts = queryTerms(q)
       if (qts.isEmpty) return Nil
       val missing = qts.map(_.term).filterNot(tsCache.contains)
       if (missing.nonEmpty) {
         val buckets = missing.map(termBucket(_, nTermBuckets)).distinct
-        // single-stage job: the per-(shard, term) rows are few (committed
-        // shards × query terms); sum/max them driver-side
-        val rows = termstatsDF
+        val rows = postingsDF
           .filter($"shard".isin(committed.toSeq: _*) &&
             $"bucket".isin(buckets: _*) && $"term".isin(missing: _*))
-          .select($"term", $"shard".cast("int").as("shard"), $"df", $"max_tfsat")
+          .groupBy($"term", $"shard".cast("int").as("shard"))
+          .agg(sum($"n_docs").as("df"), max($"max_tfsat").as("max_tfsat"))
+          .select($"term", $"shard", $"df", $"max_tfsat")
           .as[(String, Int, Long, Double)].collect()
         val found = rows.groupBy(_._1).map { case (t, rs) =>
           t -> TermStat(t, rs.map(_._3).sum,

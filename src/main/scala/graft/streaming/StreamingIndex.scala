@@ -75,18 +75,11 @@ object StreamingIndex {
       .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    postings.repartition(col("bucket")).sortWithinPartitions($"term", $"block_id")
+    postings.repartition(col("bucket")).sortWithinPartitions($"term", $"salt", $"block_id")
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard", "bucket")
       .parquet(s"$dir/postings")
-    postings.groupBy($"shard", $"term")
-      .agg(sum($"n_docs").as("df"), max($"max_tfsat").as("max_tfsat"))
-      .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard", "bucket")
-      .parquet(s"$dir/termstats")
 
     val stats = postings.agg(sum($"n_docs"), count(lit(1)),
       sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb"))).head()

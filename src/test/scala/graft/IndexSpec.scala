@@ -144,7 +144,7 @@ class IndexSpec extends SparkSpec {
         else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    for (sub <- Seq("postings", "termstats", "docstats", "corpus")) {
+    for (sub <- Seq("postings", "docstats", "corpus")) {
       copyTree(Paths.get(s"$indexDir/$sub/shard=0"),
         Paths.get(s"$dir2/$sub/shard=0"))
     }
