@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Default sized to the sandbox (128 GiB): 3 concurrent-ish local[32]
-  // builds in one JVM OOM'd at 8g (round-1 bench exit 56).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Default sized to the sandbox: 8g OOM'd the round-1 bench (exit 56),
+  // but a HUGE heap is slower here — this VM's memory runs at ~0.9 GB/s
+  // per core, so G1 wandering over 48g of cold pages costs more than GC
+  // frequency saves. 16g is the measured sweet spot.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  sys.env.getOrElse("SPARK_GC_FLAG", "-XX:+UseG1GC"),
 )

@@ -38,7 +38,7 @@ import graft.query.Bm25
 object Bench {
 
   private val BenchDocs =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
   /** Sandbox hosts show up-to-8× noisy-neighbor variance (identical runs:
     * 18s vs 145s, GC 1s vs 27s). Scaling runs therefore ALTERNATE between
     * the two parallelism levels and report the per-level minimum — the

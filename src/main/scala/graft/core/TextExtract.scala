@@ -98,20 +98,51 @@ object TextExtract extends Serializable {
 
   // precompiled: String.replaceAll/split compile their regex per call,
   // which dominates when these run per-row on executors
-  private val nonAlnum = java.util.regex.Pattern.compile("[^a-zA-Z0-9 \n]+")
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
   /** The normalization half of cleanString (no tag strip) — applied to
-    * already-extracted text and to queries. */
+    * already-extracted text and to queries. Semantics: remove every char
+    * outside [a-zA-Z0-9 \n], then ASCII-lowercase (exactly the reference's
+    * `re.sub('[^a-zA-Z0-9 \n]+', '') .lower()`, cleaners.py:34).
+    *
+    * Hand-rolled single pass instead of Pattern.replaceAll: measured 8×
+    * faster per call AND, critically, java.util.regex replaceAll
+    * ANTI-scales across threads on this host (5.2 s @1 thread → 7.0 s @8
+    * for 150k docs; the loop: 0.63 s → 0.12 s) — it was the serial
+    * bottleneck of the whole index build's tokenize stage. */
   def cleanText(s: String): String = {
     if (s == null || s.isEmpty) return s
-    nonAlnum.matcher(s).replaceAll("").toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ' || c == '\n')
+        sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      i += 1
+    }
+    sb.toString
   }
 
-  /** Whitespace split, drop empties, drop stopwords. */
+  /** Whitespace split, drop empties, drop stopwords. Hand-rolled scan with
+    * `\s+` semantics (Character.isWhitespace boundaries) — same
+    * regex-engine-avoidance rationale as [[cleanText]]. */
   private def splitFilter(cleaned: String): Array[String] = {
     if (cleaned == null) return Array.empty
-    ws.split(cleaned).filter(w => w.nonEmpty && !Stopwords.english(w))
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    val n = cleaned.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(cleaned.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(cleaned.charAt(i))) i += 1
+      if (i > start) {
+        val w = cleaned.substring(start, i)
+        if (!Stopwords.english(w)) out += w
+      }
+    }
+    out.toArray
   }
 
   /** Doc tokenizer: capped at [[MaxDocTokens]] (reference parity for

@@ -101,13 +101,13 @@ object Bm25 {
                          avgdl: Double, nTermBuckets: Int,
                          committed: Set[Int], factors: Map[Int, Double],
                          postingsDF: DataFrame,
-                         /** Exhaustive-path cutoff: when the query's total
-                           * posting count is below this, the separate
-                           * theta-bounding job costs more than the pruning
-                           * saves — score everything in one pass (result-
-                           * identical: WAND with theta = −inf prunes
-                           * nothing). Tests set 0 to force pruning. */
-                         wandCutoff: Long = 200000L) {
+                         /** Exhaustive-path cutoff in INDEX DOCUMENTS: below
+                           * it a query runs as one driver-blocking action
+                           * (see singlePassTopk) — result-identical, lower
+                           * latency. Above it, block-max WAND's extra
+                           * round-trips pay for themselves. Tests set 0 to
+                           * force the pruning path. */
+                         wandCutoff: Long = 2000000L) {
     import spark.implicits._
 
     /** Per-term stats cache: a query set hits the same vocabulary over and
@@ -186,24 +186,53 @@ object Bm25 {
         .limit(k)
     }
 
+    /** ONE-action exhaustive top-k: df (and so idf) is aggregated from
+      * block metadata INSIDE the scoring plan and broadcast-joined back
+      * onto the decoded postings — no separate term-stats round-trip, no
+      * theta job; a whole query is a single driver-blocking action over the
+      * pruned block scan. FP-identical to the TermInfo path: the weight is
+      * qtf·ln(1+(N−df+0.5)/(df+0.5)) with the same association either way. */
+    private def singlePassTopk(qts: Seq[QueryTerm], k: Int): DataFrame = {
+      val qtfMap = map(qts.flatMap(qt =>
+        Seq(lit(qt.term), lit(qt.qtf.toDouble))): _*)
+      val blocks = loadBlocks(qts.map(_.term))
+      val termW = blocks.groupBy($"term")
+        .agg(sum($"n_docs").as("df"))
+        .select($"term", (element_at(qtfMap, $"term") *
+          log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5)))
+          .as("w"))
+      blocks
+        .flatMap(IndexBuild.decodeBlock _)
+        .toDF()
+        .join(broadcast(termW), "term")
+        .withColumn("score", $"w" * tfSatCol($"tf", $"dl", avgdl))
+        .groupBy($"doc_id")
+        .agg(sum($"score").as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(k)
+    }
+
     /** Exhaustive scoring: always correct; WAND must equal it. */
     def topk(q: String, k: Int): DataFrame = {
-      val infos = termInfos(q)
-      if (infos.isEmpty) emptyResult(spark)
-      else scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
+      val qts = queryTerms(q)
+      if (qts.isEmpty) emptyResult(spark)
+      else singlePassTopk(qts, k)
     }
 
     /** Block-max pruned top-k — result-identical to [[topk]].
       *
-      * Adaptive: below [[WandCutoff]] total postings the theta-bounding job
-      * costs more wall-clock than the pruning saves, so the query runs the
-      * exhaustive single-pass plan (identical results — WAND with
+      * Adaptive: below `wandCutoff` DOCUMENTS in the index, the two extra
+      * driver round-trips WAND needs (term stats for bounds, then the
+      * theta-bounding scan) cost more wall-clock than block skipping can
+      * save — the pruned block scan is already small — so the query runs
+      * the one-action exhaustive plan (identical results: WAND with
       * theta = −inf prunes nothing). Above it, block-max pruning pays. */
     def topkWand(q: String, k: Int): DataFrame = {
+      val qts = queryTerms(q)
+      if (qts.isEmpty) return emptyResult(spark)
+      if (nDocs < wandCutoff) return singlePassTopk(qts, k)
       val infos = termInfos(q)
       if (infos.isEmpty) return emptyResult(spark)
-      if (infos.map(_.df).sum < wandCutoff)
-        return scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
       val blocks = loadBlocks(infos.map(_.term))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
