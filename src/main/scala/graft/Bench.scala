@@ -169,6 +169,7 @@ object Bench {
     val s = session(cpus)
     try {
       val h = Bm25.open(s, s"$tmp/graft_bench_idx_$CoresHigh")
+        .tuneForPointQueries() // serving conf: AQE off, narrow shuffles
       h.topkWand("w1 w2", 10).collect() // warmup
       val qTimes = Synth.refTitles.map { q =>
         time(h.topkWand(q, 10).collect())._2
@@ -178,6 +179,9 @@ object Bench {
     } catch {
       case e: Throwable =>
         errors += "bm25_query" -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+    } finally { // restore throughput conf for the operator suite
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions", (2 * cpus).toString)
     }
     emit()
 

@@ -63,140 +63,46 @@ object Main {
           BuildParams(numShards = 4))
         println(f"[build2] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    case "rawcpu" :: threads :: Nil =>
-      println(s"[rawcpu] availableProcessors=${Runtime.getRuntime.availableProcessors}")
-      println(s"[rawcpu] Cpus_allowed_list=" + scala.io.Source
-        .fromFile("/proc/self/status").getLines()
-        .find(_.startsWith("Cpus_allowed_list")).getOrElse("?"))
-      for (k <- Seq(1, threads.toInt)) {
-        val t0 = System.nanoTime()
-        val its = new java.util.concurrent.atomic.AtomicLong()
-        val ts = (0 until k).map { _ =>
-          new Thread(() => {
-            var x = 12345L; var i = 0L
-            val end = System.nanoTime() + 4000000000L
-            while (System.nanoTime() < end) {
-              var j = 0
-              while (j < 100000) { x = x * 6364136223846793005L + 1442695040888963407L; j += 1 }
-              i += 100000
-            }
-            its.addAndGet(i + (x & 1))
-          })
-        }
-        ts.foreach(_.start()); ts.foreach(_.join())
-        println(f"[rawcpu] k=$k%-3d ${its.get / ((System.nanoTime() - t0) / 1e9) / 1e6}%9.1f M iter/s")
+    case "explain" :: sfDir :: idxDir :: Nil =>
+      // plan audit: the physical plans the engine's hot paths actually get
+      def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        println(s"\n===== $name =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       }
+      val h = Bm25.open(spark, idxDir)
+      dump("bm25_topk (pruned block scan -> decode -> score -> TakeOrdered)",
+        h.topkWand("regex pull substring tags string", 10))
+      dump("doc_fetch (predicate pushdown to parquet)",
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(org.apache.spark.sql.functions.col("doc_id").isin(3L, 7L, 11L))
+          .select("doc_id", "lang"))
+      dump("lsh_pairs (bucket-capped self-join)",
+        graft.ops.Dedup.lshPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet")))
+      dump("cosine_topk (broadcast Q x stream N)",
+        graft.ops.Similarity.cosineTopK(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")))
 
-    case "rawalloc" :: threads :: Nil =>
-      // allocation-only probe: small short-lived objects, no strings
-      for (k <- Seq(1, threads.toInt)) {
-        val t0 = System.nanoTime()
-        val its = new java.util.concurrent.atomic.AtomicLong()
-        val ts = (0 until k).map { _ =>
-          new Thread(() => {
-            var i = 0L
-            var keep: Array[Byte] = null
-            val end = System.nanoTime() + 4000000000L
-            while (System.nanoTime() < end) {
-              var j = 0
-              while (j < 1000) { keep = new Array[Byte](64 + (j & 63)); j += 1 }
-              i += 1000
-            }
-            its.addAndGet(i + (if (keep == null) 0 else 1))
-          })
+    case "qbench" :: dir :: Nil =>
+      // query-latency experiment: same handle, conf toggles at runtime
+      val h = Bm25.open(spark, dir)
+      def run(tag: String): Unit = {
+        h.topkWand("w1 w2", 10).collect() // warm
+        val times = Synth.refTitles.map { q =>
+          val t0 = System.nanoTime()
+          h.topkWand(q, 10).collect()
+          (System.nanoTime() - t0) / 1e9
         }
-        ts.foreach(_.start()); ts.foreach(_.join())
-        println(f"[rawalloc] k=$k%-3d ${its.get / ((System.nanoTime() - t0) / 1e9) / 1e6}%9.1f M allocs/s")
+        println(f"[qbench] $tag%-28s avg=${times.sum / times.length}%.3f max=${times.max}%.3f")
       }
-
-    case "rawtok2" :: n :: threads :: Nil =>
-      // decompose the tokenizer: which op fails to scale across threads?
-      val texts2 = (0L until n.toLong).map(i =>
-        graft.data.Synth.genRow(42L, i).text).toArray
-      val cleaned2 = texts2.map(graft.core.TextExtract.cleanText)
-      def bench(name: String, k: Int)(op: Int => Long): Unit = {
-        val t0 = System.nanoTime()
-        val acc = new java.util.concurrent.atomic.AtomicLong()
-        val chunk = (texts2.length + k - 1) / k
-        val ts = (0 until k).map { ti =>
-          new Thread(() => {
-            var i = ti * chunk; val end = math.min(i + chunk, texts2.length)
-            var a = 0L
-            while (i < end) { a += op(i); i += 1 }
-            acc.addAndGet(a)
-          })
-        }
-        ts.foreach(_.start()); ts.foreach(_.join())
-        println(f"[rawtok2] $name%-12s k=$k%-3d ${(System.nanoTime() - t0) / 1e9}%7.2f s (acc=${acc.get})")
-      }
-      val tlPat = ThreadLocal.withInitial[java.util.regex.Pattern](() =>
-        java.util.regex.Pattern.compile("[^a-zA-Z0-9 \n]+"))
-      def handClean(s: String): String = {
-        val sb = new java.lang.StringBuilder(s.length)
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ' || c == '\n')
-            sb.append(c)
-          else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
-          i += 1
-        }
-        sb.toString
-      }
-      for (k <- Seq(1, threads.toInt)) {
-        bench("clean", k)(i => graft.core.TextExtract.cleanText(texts2(i)).length.toLong)
-        bench("clean-tl", k)(i => tlPat.get.matcher(texts2(i)).replaceAll("")
-          .toLowerCase(java.util.Locale.ROOT).length.toLong)
-        bench("clean-hand", k)(i => handClean(texts2(i)).length.toLong)
-        bench("split", k)(i => cleaned2(i).split("\\s+").length.toLong)
-        bench("full", k)(i => graft.core.TextExtract.tokenizeFull(cleaned2(i)).length.toLong)
-      }
-
-    case "rawtok" :: n :: threads :: Nil =>
-      // Spark-free scaling probe: tokenize the same texts with K plain
-      // threads — separates JVM/host string-op scaling from Spark overhead
-      val texts = (0L until n.toLong).map(i =>
-        graft.data.Synth.genRow(42L, i).text).toArray
-      for (k <- Seq(1, threads.toInt)) {
-        val t0 = System.nanoTime()
-        val chunk = (texts.length + k - 1) / k
-        val ts = (0 until k).map { ti =>
-          new Thread(() => {
-            var i = ti * chunk
-            val end = math.min(i + chunk, texts.length)
-            var acc = 0L
-            while (i < end) {
-              val toks = graft.core.TextExtract.tokenizeFull(
-                graft.core.TextExtract.cleanText(texts(i)))
-              acc += toks.length
-              i += 1
-            }
-            if (acc < 0) println(acc) // keep acc live
-          })
-        }
-        ts.foreach(_.start()); ts.foreach(_.join())
-        println(f"[rawtok] k=$k%-3d ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      }
-
-    case "tokprof" :: n :: Nil =>
-      // isolates the tokenize stage's scaling: cold vs warm (JIT), count vs
-      // write (commit overhead), with explicit wide partitioning
-      import org.apache.spark.sql.functions._
-      def t[A](name: String)(f: => A): A = {
-        val t0 = System.nanoTime(); val r = f
-        println(f"[tokprof] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
-      }
-      val par = 4 * spark.sparkContext.defaultParallelism
-      val pages = Synth.pages(spark, n.toLong, 42L, par)
-      t("gen+count-cold")(pages.count())
-      t("gen+count-warm")(pages.count())
-      val scratchDir = s"${sys.props("java.io.tmpdir")}/tokprof"
-      val p = BuildParams()
-      t("tok+write-cold")(graft.index.IndexBuild.tokenize(pages, p)
-        .write.mode("overwrite").partitionBy("shard").parquet(scratchDir))
-      t("tok+write-warm")(graft.index.IndexBuild.tokenize(pages, p)
-        .write.mode("overwrite").partitionBy("shard").parquet(scratchDir))
-      t("tok+count-warm")(graft.index.IndexBuild.tokenize(pages, p).count())
+      run("baseline (AQE on)")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      run("AQE off")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      run("AQE off + shuffle=4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      run("AQE on + shuffle=4")
 
     case "profile" :: n :: Nil =>
       // stage-by-stage timing of the build pipeline (no writes)
