@@ -145,9 +145,16 @@ object Bench {
       s.stop()
       sec
     }
+    // Wall-clock guard: a noisy-host rep can run 3-5× long; reps after the
+    // first stop once phase 2 has spent its budget, so the driver's overall
+    // bench window is never blown (one full rep is always completed).
+    val phase2Budget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toInt
+    val phase2Start = System.nanoTime()
+    def phase2Spent = (System.nanoTime() - phase2Start) / 1e9
     val tLow = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (rep <- 0 until Reps) {
+    for (rep <- 0 until Reps if rep == 0 || phase2Spent < phase2Budget) {
       tLow += timedBuild(CoresLow, warm = rep == 0)
       results += s"build_p${CoresLow}_rep$rep" -> round3(tLow.last)
       emit()
