@@ -145,16 +145,9 @@ object Bench {
       s.stop()
       sec
     }
-    // Wall-clock guard: a noisy-host rep can run 3-5× long; reps after the
-    // first stop once phase 2 has spent its budget, so the driver's overall
-    // bench window is never blown (one full rep is always completed).
-    val phase2Budget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toInt
-    val phase2Start = System.nanoTime()
-    def phase2Spent = (System.nanoTime() - phase2Start) / 1e9
     val tLow = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (rep <- 0 until Reps if rep == 0 || phase2Spent < phase2Budget) {
+    def runRep(rep: Int): Unit = {
       tLow += timedBuild(CoresLow, warm = rep == 0)
       results += s"build_p${CoresLow}_rep$rep" -> round3(tLow.last)
       emit()
@@ -170,6 +163,15 @@ object Bench {
       results += "scaling_efficiency" -> round3((BenchDocs / th) / (BenchDocs / tl) / 4.0)
       emit()
     }
+    // One full rep FIRST — a complete N/4N pair exists before anything
+    // optional runs, so even a truncated bench window yields the scaling
+    // evidence. Extra noise-reduction reps run at the END under a
+    // wall-clock budget (a noisy-host rep can take 3-5× nominal).
+    val benchStart = System.nanoTime()
+    def benchSpent = (System.nanoTime() - benchStart) / 1e9
+    val benchBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+    runRep(0)
 
     // ---- phase 3: query latency + operator suite on the bench session ---
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", CoresHigh.toString).toInt
@@ -205,6 +207,10 @@ object Bench {
     }
     s.stop()
     emit()
+
+    // ---- phase 4: extra alternating reps to tighten the minima ----------
+    for (rep <- 1 until Reps if benchSpent < benchBudget) runRep(rep)
+
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
       sys.exit(3)
