@@ -73,6 +73,16 @@ object InvertedIndex {
     * pure function of the data (stable under any partitioning/resume). */
   final val SampleMod = 20
 
+  /** Per-phase wall-clock trace of the last build (stderr + inspectable) —
+    * the feedback loop for the scaling-efficiency work: fixed (non-scaling)
+    * phases show up directly here. */
+  private def phaseTimed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[build] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
+  }
+
   /** Build (or resume) the index over `pages` into `dir`. Returns the number
     * of shards built in this invocation.
     *
@@ -89,20 +99,11 @@ object InvertedIndex {
     *   3. per wave of shards (the resume unit): explode scratch → ONE
     *      skew-bounded shuffle (range-salted sort-encode, no merge stage —
     *      see IndexBuild.rangeSalt) → layout repartition → postings write;
-    *      then termstats / docstats / corpus writes and LAST the manifest
-    *      commit marker — so readers filtering by committed shards (Bm25
-    *      .open) never see a torn wave.
+    *      then docstats / corpus writes (concurrently) and LAST the
+    *      manifest commit marker — so readers filtering by committed shards
+    *      (Bm25.open) never see a torn wave. No termstats table exists:
+    *      term stats are block-metadata scans at query time.
     */
-  /** Per-phase wall-clock trace of the last build (stderr + inspectable) —
-    * the feedback loop for the scaling-efficiency work: fixed (non-scaling)
-    * phases show up directly here. */
-  private def phaseTimed[A](name: String)(f: => A): A = {
-    val t0 = System.nanoTime()
-    val r = f
-    System.err.println(f"[build] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-    r
-  }
-
   def build(spark: SparkSession, pages: Dataset[Page], dir: String,
             p: BuildParams = BuildParams()): Int = {
     import spark.implicits._
