@@ -68,6 +68,22 @@ object InvertedIndex {
     else Some(spark.read.parquet(s"$dir/params").as[BuildParams].head())
   }
 
+  /** Reconcile caller-passed params with the persisted layout: a
+    * resume/append invoked with a different `nTermBuckets` than the index
+    * was created with would write postings under bucket directories the
+    * reader (which trusts <dir>/params) never probes — terms silently
+    * dropped. Layout fields are ADOPTED from disk (with a warning);
+    * non-layout knobs (salting, block size, shards) stay the caller's. */
+  private[graft] def adoptLayout(spark: SparkSession, dir: String,
+                                 p: BuildParams): BuildParams =
+    readParams(spark, dir) match {
+      case Some(d) if d.nTermBuckets != p.nTermBuckets =>
+        System.err.println(s"[build] $dir was created with nTermBuckets=" +
+          s"${d.nTermBuckets}; adopting it over the caller's ${p.nTermBuckets}")
+        p.copy(nTermBuckets = d.nTermBuckets)
+      case _ => p
+    }
+
   /** Fraction-denominator of the deterministic hot-term sample: docs with
     * xxhash64(doc_id) ≡ 0 (mod SampleMod) — a 1/SampleMod sample that is a
     * pure function of the data (stable under any partitioning/resume). */
@@ -105,9 +121,13 @@ object InvertedIndex {
     *      term stats are block-metadata scans at query time.
     */
   def build(spark: SparkSession, pages: Dataset[Page], dir: String,
-            p: BuildParams = BuildParams()): Int = {
+            params: BuildParams = BuildParams()): Int = {
     import spark.implicits._
 
+    // A resume/append must write under the layout the index was CREATED
+    // with: readers trust <dir>/params, so postings bucketed by a different
+    // caller-passed nTermBuckets would be silently invisible to every query.
+    val p = adoptLayout(spark, dir, params)
     val done = committedShards(spark, dir)
     val todo = (0 until p.numShards).filterNot(done)
     if (todo.isEmpty) return 0

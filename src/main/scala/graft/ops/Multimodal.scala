@@ -112,8 +112,14 @@ object Multimodal {
       inflater.setInput(idat.toByteArray)
       val raw = new Array[Byte]((w + 1) * h)
       var got = 0
-      while (got < raw.length && !inflater.finished())
-        got += inflater.inflate(raw, got, raw.length - got)
+      var stalled = false
+      // inflate returns 0 without finishing when the deflate stream is
+      // truncated (needsInput with nothing left to feed) — a valid-CRC but
+      // short IDAT must yield None, never a spin
+      while (got < raw.length && !inflater.finished() && !stalled) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0) stalled = true else got += n
+      }
       inflater.end()
       if (got != raw.length) return None
       val px = new Array[Byte](w * h)
@@ -297,21 +303,34 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split the decoded payload into n_frames chunks and emit
-    * every `stride`-th — the flatMap (generator) shape of video frame
-    * extraction. Images are 1-frame; audio "frames" are per-channel planes. */
+  /** Frame sampling: emit every `stride`-th frame — the flatMap (generator)
+    * shape of video frame extraction. Images are 1-frame; video frames are
+    * equal payload chunks; audio "frames" are per-channel planes,
+    * de-interleaved from the PCM stream (sample i of channel c sits at
+    * index i·ch + c, as encodeWav writes it). */
   def sampleFrames(media: Dataset[Media], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val meta = decodeOne(m.media_id, m.kind, m.blob)
       val payload = payloadOf(m.kind, m.blob)
-      val nf = if (m.kind == "audio") meta.height else meta.n_frames
-      if (!meta.valid || nf == 0 || payload.isEmpty) Iterator.empty
-      else {
-        val sz = math.max(payload.length / nf, 1)
-        (0 until nf by stride).iterator.map { f =>
-          Frame(m.media_id, f,
-            payload.slice(f * sz, math.min((f + 1) * sz, payload.length)))
+      if (m.kind == "audio") {
+        val ch = meta.height
+        if (!meta.valid || ch == 0 || payload.isEmpty) Iterator.empty
+        else (0 until ch by stride).iterator.map { c =>
+          val plane = new Array[Byte]((payload.length - c + ch - 1) / ch)
+          var i = c; var j = 0
+          while (i < payload.length) { plane(j) = payload(i); j += 1; i += ch }
+          Frame(m.media_id, c, plane)
+        }
+      } else {
+        val nf = meta.n_frames
+        if (!meta.valid || nf == 0 || payload.isEmpty) Iterator.empty
+        else {
+          val sz = math.max(payload.length / nf, 1)
+          (0 until nf by stride).iterator.map { f =>
+            Frame(m.media_id, f,
+              payload.slice(f * sz, math.min((f + 1) * sz, payload.length)))
+          }
         }
       }
     }

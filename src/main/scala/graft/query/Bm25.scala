@@ -97,6 +97,12 @@ object Bm25 {
       spark.read.parquet(s"$dir/postings"))
   }
 
+  /** A handle is a SNAPSHOT of the index at [[Bm25.open]] time: the
+    * committed-shard set, the postings file listing, the corpus scalars,
+    * and the per-term stats cache are all frozen then. Segments appended
+    * later (StreamingIndex, resume waves) are invisible to this handle —
+    * call [[IndexHandle.reopen]] to pick them up. That is the intended
+    * serving semantics: a query set runs against one consistent snapshot. */
   case class IndexHandle(spark: SparkSession, dir: String, nDocs: Long,
                          avgdl: Double, nTermBuckets: Int,
                          committed: Set[Int], factors: Map[Int, Double],
@@ -116,6 +122,12 @@ object Bm25 {
       * stage latency (measured on a 300k-doc index: 0.91 s avg with AQE +
       * 16 shuffle partitions → 0.29 s with neither). Opt-in because it
       * mutates session conf; call it on a session dedicated to serving. */
+    /** Fresh snapshot of the same index directory: re-reads the manifest,
+      * corpus scalars, params, and the postings file listing, and starts an
+      * empty term-stats cache. Use after StreamingIndex appends (or another
+      * build wave) to make new segments visible. */
+    def reopen(): IndexHandle = Bm25.open(spark, dir, nTermBuckets)
+
     def tuneForPointQueries(): IndexHandle = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -138,10 +138,16 @@ object EventStream {
   }
 
   /** Start the windowed-count stream over a directory of event parquet
-    * files, writing complete-mode results to an in-memory table `name`. */
-  def startWindowed(spark: SparkSession, sourceDir: String,
-                    name: String): StreamingQuery =
+    * files, writing results to an in-memory table `name`.
+    *
+    * Default output mode is APPEND: the watermark finalizes and EVICTS each
+    * window once it passes, so state is bounded by the watermark horizon
+    * (the production semantics). "complete" re-emits every window each
+    * batch and keeps ALL window state forever — test/debug only (it is what
+    * lets a finite file stream show its trailing, never-finalized windows). */
+  def startWindowed(spark: SparkSession, sourceDir: String, name: String,
+                    outputMode: String = "append"): StreamingQuery =
     windowedCounts(spark.readStream.schema(eventSchema).parquet(sourceDir))
-      .writeStream.outputMode("complete").format("memory")
+      .writeStream.outputMode(outputMode).format("memory")
       .queryName(name).start()
 }

@@ -39,11 +39,15 @@ object StreamingIndex {
   /** Append one micro-batch of pages as segment (SegmentBase + batchId).
     * Public so batch jobs can append segments too (idempotent by id). */
   def appendSegment(spark: SparkSession, batch: Dataset[Page], dir: String,
-                    batchId: Long, p: BuildParams): Unit = {
+                    batchId: Long, params: BuildParams): Unit = {
     import spark.implicits._
     val seg = SegmentBase + batchId.toInt
     val committed = InvertedIndex.committedShards(spark, dir)
     if (committed.contains(seg)) return
+    // appends must keep the CREATING build's bucket layout (readers trust
+    // <dir>/params) — a restarted stream configured differently would
+    // otherwise write terms into buckets no query ever probes
+    val p = InvertedIndex.adoptLayout(spark, dir, params)
     InvertedIndex.writeParamsIfAbsent(spark, dir, p)
 
     // every doc in this segment lands in this segment's shard id

@@ -51,6 +51,37 @@ class MultimodalSpec extends SparkSpec {
     assert(px.take(8).toSeq == Seq[Byte](10, 15, 20, 25, 11, 16, 21, 26))
   }
 
+  test("truncated deflate stream with valid chunk CRCs returns None " +
+    "(no inflate stall)") {
+    // build a PNG whose IDAT carries only HALF the deflate bytes, re-CRC'd:
+    // chunk walk passes, inflate eventually returns 0 with needsInput —
+    // the decoder must bail out, not spin
+    val px = Array.tabulate[Byte](32 * 32)(i => (i * 13).toByte)
+    val png = Multimodal.encodePng(32, 32, px)
+    def u32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    val idatOff = 8 + 12 + 13 // sig + IHDR chunk
+    val idatLen = u32(png, idatOff)
+    val body = png.slice(idatOff + 8, idatOff + 8 + idatLen).take(idatLen / 2)
+    def chunkBytes(tag: String, b: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes); crc.update(b)
+      val len = b.length; val v = crc.getValue.toInt
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        tag.getBytes ++ b ++
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    }
+    val truncated = png.take(idatOff) ++ chunkBytes("IDAT", body) ++
+      chunkBytes("IEND", Array.empty)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      assert(Multimodal.decodePng(truncated).isEmpty); done.set(true)
+    })
+    t.setDaemon(true); t.start(); t.join(10000)
+    assert(done.get(), "decodePng hung on a truncated deflate stream")
+  }
+
   test("WAV round-trip: encode → decode recovers rate/channels/samples") {
     val samples = Array.tabulate[Byte](300)(i => (i * 7).toByte)
     val wav = Multimodal.encodeWav(16000, 2, samples)

@@ -61,4 +61,35 @@ class StreamingIndexSpec extends SparkSpec {
     StreamingIndex.appendSegment(spark, wave1.toSeq.toDS(), idxDir, 0L, p)
     assert(spark.read.parquet(s"$idxDir/manifest").count() == before)
   }
+
+  test("append with mismatched nTermBuckets adopts the persisted layout " +
+    "(no silently-invisible terms)") {
+    val idxDir = tmpDir("layout-idx")
+    val all = Synth.pages(spark, 300, Seed, 4).collect()
+    val (w1, w2) = all.splitAt(150)
+    val created = BuildParams(numShards = 1, blockSize = 16, nTermBuckets = 8)
+    InvertedIndex.build(spark, w1.toSeq.toDS(), idxDir, created)
+    // a restarted appender configured with a DIFFERENT bucket count must
+    // not write into directories the reader (which trusts <dir>/params)
+    // never probes
+    StreamingIndex.appendSegment(spark, w2.toSeq.toDS(), idxDir, 5L,
+      created.copy(nTermBuckets = 4))
+    val h = Bm25.open(spark, idxDir)
+    assert(h.nDocs == all.length)
+    assert(h.nTermBuckets == 8, "reader must keep the creating layout")
+    // decisive visibility check vs a same-layout batch control over ALL
+    // docs: postings written under the wrong bucket layout would make the
+    // appended docs' term contributions vanish → df and top-k diverge
+    val ctrlDir = tmpDir("layout-ctrl")
+    InvertedIndex.build(spark, all.toSeq.toDS(), ctrlDir, created)
+    val hc = Bm25.open(spark, ctrlDir)
+    for (q <- Synth.refTitles.take(3) ++ Seq("w1 w3 the0", "w7 w20")) {
+      val dfA = h.termInfos(q).map(ti => ti.term -> ti.df).toMap
+      val dfB = hc.termInfos(q).map(ti => ti.term -> ti.df).toMap
+      assert(dfA == dfB, s"df diverged for '$q': $dfA vs $dfB")
+      val a = h.topk(q, 10).as[(Long, Double)].collect().toSeq.map(_._1)
+      val b = hc.topk(q, 10).as[(Long, Double)].collect().toSeq.map(_._1)
+      assert(a == b, s"top-k diverged for '$q': $a vs $b")
+    }
+  }
 }
