@@ -80,6 +80,10 @@ object Main {
       dump("lsh_pairs (bucket-capped self-join)",
         graft.ops.Dedup.lshPairs(
           spark.read.parquet(s"$sfDir/documents.parquet")))
+      dump("jaccard_pairs (narrow shingle slide; no join before the " +
+        "shingle equi-join itself)",
+        graft.ops.Dedup.jaccardPairs(
+          spark.read.parquet(s"$sfDir/documents.parquet")))
       dump("cosine_topk (broadcast Q x stream N)",
         graft.ops.Similarity.cosineTopK(
           spark.read.parquet(s"$sfDir/embeddings.parquet")))

@@ -86,19 +86,22 @@ object SparkEntry {
         .withColumn("k_val", get_json_object(col("props"), "$.k"))
         .groupBy(col("k_val"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))),
-    // --- ordered nested collect (reference S3/J4 answers-under-question) -
+    // --- ordered nested collect (reference S3/J4 answers-under-question) —
+    //     ONE windowed pass: the groupBy reuses the window's user_id
+    //     partitioning (no second shuffle over events); n_events counts all
+    //     rows while seq collects only rn≤20 (when-without-otherwise rows
+    //     are nulls, which collect_list skips) ---------------------------
     "q_user_sessions" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-      val ranked = events(s, d)
+      events(s, d)
         .withColumn("rn", row_number().over(w))
-      val seqs = ranked.filter(col("rn") <= 20)
         .groupBy(col("user_id"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("rn"), col("event_type")))),
-          x => x.getField("event_type")), ",").as("seq"))
-      ranked.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
-        .join(seqs, "user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("rn") <= 20, struct(col("rn"), col("event_type"))))),
+            x => x.getField("event_type")), ",").as("seq"))
         .select(col("user_id"), col("n_events"), col("seq"))
     }),
     // --- the reference's own search modality: LSH probe + Jaccard re-rank

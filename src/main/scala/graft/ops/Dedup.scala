@@ -109,18 +109,22 @@ object Dedup {
         expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L)).as("simhash"))
   }
 
-  /** Distinct token 3-gram shingles per doc (relational: self-joins on
-    * ordinal — the same shape as the SQL oracle). */
+  /** Distinct token n-gram shingles per doc — a NARROW array slide: the
+    * token array is built per row, windows of n are concatenated with
+    * `transform` over a `sequence` of start offsets, de-duplicated with
+    * `array_distinct`, then exploded. Zero shuffles before the downstream
+    * aggregation (the previous 3-way self-join of the exploded token table
+    * shuffled the full token relation twice for the same output — pure
+    * waste at corpus scale). The relational self-join form survives only in
+    * the DuckDB oracle (SparkEntry SH), which is exactly the cross-engine
+    * check that this slide emits the same shingle set. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val t = TextOps.tokens(docs)
-    val t1 = t.select(col("doc_id"), col("ord"), col("term").as("w1"))
-    val t2 = t.select(col("doc_id").as("d2"), col("ord").as("o2"), col("term").as("w2"))
-    val t3 = t.select(col("doc_id").as("d3"), col("ord").as("o3"), col("term").as("w3"))
-    t1.join(t2, col("doc_id") === col("d2") && col("o2") === col("ord") + 1)
-      .join(t3, col("doc_id") === col("d3") && col("o3") === col("ord") + 2)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("shingle"))
-      .distinct()
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
   }
 
   /** n-gram Jaccard near-dup pairs (≥ threshold), via shingle equi-join —
