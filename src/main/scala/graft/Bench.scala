@@ -205,6 +205,19 @@ object Bench {
       }
       results += name -> round3(sec)
     }
+    // production-hash datapoint: md5-portable (the oracle shape, = q_minhash)
+    // vs the xxhash64 production path, same corpus, same session
+    try {
+      val docsDf = s.read.parquet(s"$sfDir/documents.parquet")
+      results += "minhash_md5_sec" ->
+        round3(time(graft.ops.Dedup.minhash(docsDf).count())._2)
+      results += "minhash_xx64_sec" ->
+        round3(time(graft.ops.Dedup.minhash(docsDf,
+          hash = graft.ops.Dedup.Xx64).count())._2)
+    } catch {
+      case e: Throwable =>
+        errors += "minhash_hash_modes" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    }
     s.stop()
     emit()
 

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * bucket join), SimHash, and token-shingle Jaccard — each with an exact
   * DuckDB oracle twin.
   *
-  * Portable hashing: every hash here is hex MD5 (identical bytes → identical
-  * hex in any engine); minima are taken lexicographically on the hex string,
-  * and numeric digests are derived from hex digits via base-16 conversion,
-  * so no engine-specific hash function leaks into results. In the production
-  * Spark-only path you would swap md5 → xxhash64 (cheaper, codegen'd) — the
-  * relational shape is unchanged.
+  * Hashing is pluggable ([[HashMode]]): the default [[Md5Portable]] renders
+  * every hash as hex MD5 (identical bytes → identical hex in any engine);
+  * minima are taken lexicographically on the hex string, and numeric digests
+  * are derived from hex digits via base-16 conversion, so no engine-specific
+  * hash function leaks into results — which is what gives every operator an
+  * exact DuckDB oracle. [[Xx64]] is the production Spark-only path: codegen'd
+  * xxhash64 (no MessageDigest allocation, an order of magnitude cheaper per
+  * token at 100 TB), rendered as zero-padded two's-complement hex so the
+  * column schema and the min/band mechanics are identical — lexicographic
+  * order on the padded hex IS unsigned-64 numeric order. The two modes give
+  * different (both valid) signatures; oracle queries stay pinned to md5.
   *
   * Scale notes: everything is groupBy/join on (doc_id | term | shingle |
   * band_hash) keys — shuffle-partitioned by key, no driver materialization;
@@ -24,23 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Hash implementation selector — see the object doc. */
+  sealed trait HashMode
+  /** Hex MD5 (DuckDB-oracle-portable; the default). */
+  case object Md5Portable extends HashMode
+  /** Codegen'd xxhash64 as zero-padded hex (production; no SQL twin). */
+  case object Xx64 extends HashMode
+
+  /** 16-hex-char digest of `c` under `mode`, lexicographically orderable in
+    * both modes (md5 prefix / unsigned-64 padded hex). */
+  private def hashHex(c: Column, mode: HashMode): Column = mode match {
+    case Md5Portable => substring(md5(c.cast("binary")), 1, 16)
+    case Xx64 => format_string("%016x", xxhash64(c))
+  }
+
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
   /** Exact dedup groups: content hash → group size + canonical (min) id. */
-  def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5s(col("text")).as("h"))
+  def exact(docs: DataFrame, hash: HashMode = Md5Portable): DataFrame = {
+    val h = hash match {
+      case Md5Portable => md5s(col("text")) // full 32-hex digest (pinned oracle shape)
+      case Xx64 => hashHex(col("text"), Xx64)
+    }
+    docs.groupBy(h.as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+  }
 
-  /** Per-(doc, seed) MinHash: min over tokens of md5(seed:term) hex prefix.
+  /** Per-(doc, seed) MinHash: min over tokens of hash(seed:term).
     * Set semantics are automatic (min over duplicates = min over set).
     *
     * Single-pass: all nSeeds minima are computed as one groupBy(doc_id) with
     * nSeeds min-aggregates (map-side partial agg), then unpivoted — the token
     * table is scanned and shuffled exactly once, vs the naive
     * tokens × seeds crossJoin that blows the shuffle up nSeeds-fold. */
-  def minhash(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+  def minhash(docs: DataFrame, nSeeds: Int = 8,
+              hash: HashMode = Md5Portable): DataFrame = {
     val aggs = (0 until nSeeds).map { sd =>
-      min(substring(md5s(concat(lit(s"$sd:"), col("term"))), 1, 16)).as(s"m$sd")
+      min(hashHex(concat(lit(s"$sd:"), col("term")), hash)).as(s"m$sd")
     }
     TextOps.tokens(docs)
       .groupBy(col("doc_id"))
@@ -52,15 +77,22 @@ object Dedup {
   }
 
   /** LSH bands over the minhash signature: rows-per-band = 2, band hash =
-    * md5 of the band's minima concatenated in seed order (deterministic via
+    * hash of the band's minima concatenated in seed order (deterministic via
     * array_sort on (seed, minhash) structs). */
-  def lshBands(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame =
-    minhash(docs, nSeeds)
+  def lshBands(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2,
+               hash: HashMode = Md5Portable): DataFrame = {
+    val bandCol = array_join(
+      transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash")), ",")
+    val bandHash = hash match {
+      case Md5Portable => md5s(bandCol) // full digest (pinned oracle shape)
+      case Xx64 => hashHex(bandCol, Xx64)
+    }
+    minhash(docs, nSeeds, hash)
       .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(md5s(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash")), ",")).as("band_hash"))
+      .agg(bandHash.as("band_hash"))
+  }
 
   /** Candidate near-dup pairs: docs sharing any band bucket.
     *
@@ -73,10 +105,10 @@ object Dedup {
     * SQL-expressible (QUALIFY count(*) OVER bucket <= cap), so the oracle
     * applies the identical cap. */
   def lshPairs(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2,
-               maxBucket: Int = 50): DataFrame = {
+               maxBucket: Int = 50, hash: HashMode = Md5Portable): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
-    val bands = lshBands(docs, nSeeds, rowsPerBand)
+    val bands = lshBands(docs, nSeeds, rowsPerBand, hash)
       .withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket)
     val a = bands.select(col("band").as("band_a"), col("band_hash").as("bh_a"),

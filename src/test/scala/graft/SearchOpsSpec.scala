@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Evaluate, MinHashSearch}
+import graft.ops.{Dedup, Evaluate, MinHashSearch}
 
 /** MinHash-LSH search + evaluation harness over the documents testdata. */
 class SearchOpsSpec extends SparkSpec {
@@ -8,6 +8,43 @@ class SearchOpsSpec extends SparkSpec {
 
   private lazy val docs =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("xx64 production hash path: identical exact-dedup groups, valid " +
+    "distinct signatures, duplicate texts always collide in every band") {
+    // exact dedup: the GROUPS are a property of the text, not the hash —
+    // (n, keep_id) multisets must be identical under both modes
+    def groups(h: Dedup.HashMode) = Dedup.exact(docs, h)
+      .select($"n", $"keep_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(groups(Dedup.Md5Portable) == groups(Dedup.Xx64))
+
+    // signatures: same shape (8 seeds/doc, 16 hex chars), different values
+    val md = Dedup.minhash(docs, hash = Dedup.Md5Portable)
+      .as[(Long, Long, String)].collect()
+    val xx = Dedup.minhash(docs, hash = Dedup.Xx64)
+      .as[(Long, Long, String)].collect()
+    assert(md.length == xx.length)
+    assert(xx.forall(r => r._3.length == 16 && r._3.matches("[0-9a-f]{16}")))
+    val mdMap = md.map(r => (r._1, r._2) -> r._3).toMap
+    val xxMap = xx.map(r => (r._1, r._2) -> r._3).toMap
+    assert(mdMap.keySet == xxMap.keySet)
+    assert(mdMap.count { case (k, v) => xxMap(k) == v } < md.length / 100,
+      "xx64 signatures should not coincide with md5 signatures")
+
+    // structural LSH guarantee, hash-independent: docs with IDENTICAL text
+    // have identical signatures, so every exact-dup pair appears in lshPairs
+    // under BOTH modes (testdata has no dups — inject copies of 20 docs
+    // under shifted ids)
+    val base = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).take(20)
+    val withDups = (base ++ base.map { case (id, t) => (id + 1000000L, t) })
+      .toSeq.toDF("doc_id", "text")
+    val dupPairs = base.map { case (id, _) => (id, id + 1000000L) }.toSet
+    for (h <- Seq[Dedup.HashMode](Dedup.Md5Portable, Dedup.Xx64)) {
+      val pairs = Dedup.lshPairs(withDups, hash = h)
+        .as[(Long, Long)].collect().toSet
+      assert(dupPairs.subsetOf(pairs), s"$h missed exact-dup pairs")
+    }
+  }
 
   test("minhash search: self-retrieval of an exact document text") {
     // querying with a doc's own text must retrieve that doc at jaccard 1.0
