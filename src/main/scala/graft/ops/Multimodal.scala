@@ -21,15 +21,15 @@ import org.apache.spark.sql.functions._
   * CRCs and real deflate streams), so the decoders run against genuine
   * format bytes and malformed-input paths are testable by corruption.
   *
-  * STUB BOUNDARY: video is the one remaining stub — this container ships
-  * no video codec, so "video" rows use a deterministic synthetic container
-  * (header + payload) and `decodeVideoStub` is the single seam where a real
-  * demuxer would slot in. Everything around it (schema, partitioning, batch
-  * shape, null handling) is identical to the real PNG/WAV paths.
-  *
-  * Synthetic video container layout (big-endian):
-  *   bytes 0-1  magic 0x4D4D ("MM"); byte 2 = 2 (video)
-  *   bytes 3-4 width; 5-6 height; 7-8 n_frames; 9.. payload
+  * Video rows are REAL AVI files (RIFF container: hdrl LIST with avih main
+  * header + strl stream header for an MJPG 'vids' stream, movi LIST with
+  * one '00dc' chunk per frame, word-aligned) — the demux ([[decodeAvi]])
+  * walks genuine format bytes exactly like the WAV path walks RIFF/WAVE.
+  * STUB BOUNDARY, narrowed to the codec only: the per-frame payloads are
+  * NOT pixel-decoded (this container ships no MJPEG codec); a real codec
+  * call slots in where decodeAvi returns the raw frame chunks. Everything
+  * else (container parse, schema, partitioning, batch shape, null handling)
+  * is as real as the PNG/WAV paths.
   */
 object Multimodal {
 
@@ -190,13 +190,92 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // AVI encode (generator) + demux — RIFF 'AVI ', avih/strl headers, movi
+  // '00dc' frame chunks. Frame payloads stay codec-opaque (stub boundary).
+  // ---------------------------------------------------------------------
+
+  private def fourcc(s: String) = s.getBytes(StandardCharsets.US_ASCII)
+
+  private def riffChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    fourcc(tag) ++ le32(body.length) ++ body ++ pad
+  }
+
+  private def riffList(subtype: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(subtype) ++ body)
+
+  /** Minimal real AVI: one MJPG-fourcc 'vids' stream, one '00dc' chunk per
+    * frame. Headers are genuine (avih 56-byte main header, strh/strf stream
+    * pair); frame payloads are opaque bytes (no codec — see stub note). */
+  def encodeAvi(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le32(33333) ++ le32(maxFrame * 30) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(width) ++ le32(height) ++ new Array[Byte](16)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(frames.length) ++
+      le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(width) ++ le16(height) // rcFrame
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(width * height * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.flatMap(f => riffChunk("00dc", f)))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Real AVI demux: (width, height, frame chunks) or None if malformed.
+    * Walks the RIFF tree, reads avih for dimensions/frame count, collects
+    * the movi LIST's '..dc'/'..db' chunks, and cross-checks the header's
+    * TotalFrames against the chunks actually present. Frame payloads are
+    * returned UNDECODED — the codec is the one declared stub seam. */
+  def decodeAvi(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+    try {
+      def tag(o: Int) = new String(b, o, 4, StandardCharsets.US_ASCII)
+      def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      def u32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var w = -1; var h = -1; var totalFrames = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val t = tag(off); val len = u32(off + 4)
+          if (len < 0 || off + 8 + len > end) throw new RuntimeException("torn chunk")
+          t match {
+            case "LIST" => walk(off + 12, off + 8 + len) // subtype + body
+            case "avih" =>
+              if (len < 56) throw new RuntimeException("short avih")
+              totalFrames = u32(off + 8 + 16)
+              w = u32(off + 8 + 32); h = u32(off + 8 + 36)
+            case dc if dc.length == 4 &&
+              (dc.endsWith("dc") || dc.endsWith("db")) &&
+              dc.take(2).forall(_.isDigit) =>
+              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
+            case _ => ()
+          }
+          off += 8 + len + (len & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, 12 + math.min(u32(4) - 4, b.length - 12))
+      if (w <= 0 || h <= 0 || frames.isEmpty || frames.length != totalFrames) None
+      else Some((w, h, frames.toArray))
+    } catch { case _: Exception => None }
+  }
+
+  // ---------------------------------------------------------------------
   // Synthetic corpus + decode dispatch
   // ---------------------------------------------------------------------
 
   private val kinds = Array("image", "audio", "video")
 
   /** Deterministic synthetic media corpus (pure function of (seed, id)):
-    * REAL PNG bytes, REAL WAV bytes, synthetic video containers. */
+    * REAL PNG bytes, REAL WAV bytes, REAL AVI container bytes. */
   def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Media] = {
     import spark.implicits._
     spark.range(n).mapPartitions(_.map { i =>
@@ -217,33 +296,18 @@ object Multimodal {
           val rate = 8000 * (1 + Math.floorMod(h >>> 8, 5L).toInt)
           val ch = 1 + Math.floorMod(h >>> 16, 2L).toInt
           encodeWav(rate, ch, payload(ch * (64 + Math.floorMod(h >>> 32, 192L).toInt)))
-        case _ => // video: synthetic container (declared stub)
+        case _ => // video: real AVI container (frame payloads codec-opaque)
           val w = 16 + Math.floorMod(h >>> 8, 64L).toInt
           val hgt = 16 + Math.floorMod(h >>> 16, 64L).toInt
-          val frames = 1 + Math.floorMod(h >>> 24, 8L).toInt
-          val p = payload(64 + Math.floorMod(h >>> 32, 192L).toInt)
-          val b = new Array[Byte](9 + p.length)
-          b(0) = 0x4D; b(1) = 0x4D; b(2) = 2
-          b(3) = (w >> 8).toByte; b(4) = w.toByte
-          b(5) = (hgt >> 8).toByte; b(6) = hgt.toByte
-          b(7) = (frames >> 8).toByte; b(8) = frames.toByte
-          System.arraycopy(p, 0, b, 9, p.length)
-          b
+          val nFrames = 1 + Math.floorMod(h >>> 24, 8L).toInt
+          val fs = 64 + Math.floorMod(h >>> 32, 192L).toInt
+          val p = payload(nFrames * fs)
+          encodeAvi(w, hgt,
+            Array.tabulate(nFrames)(f =>
+              java.util.Arrays.copyOfRange(p, f * fs, (f + 1) * fs)))
       }
       Media(i, kinds(kind), blob)
     })
-  }
-
-  /** Video decode STUB: parse the synthetic container header. A real
-    * demuxer/codec call slots in HERE (per partition, reusing one decoder
-    * instance); malformed blobs yield valid=false rows, never exceptions. */
-  private def decodeVideoStub(blob: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    if (blob == null || blob.length < 9 || blob(0) != 0x4D || blob(1) != 0x4D ||
-      blob(2) != 2) None
-    else {
-      def u16(o: Int) = ((blob(o) & 0xFF) << 8) | (blob(o + 1) & 0xFF)
-      Some((u16(3), u16(5), u16(7), blob.length - 9))
-    }
   }
 
   /** Decode one blob to metadata (total function: malformed → valid=false). */
@@ -259,22 +323,21 @@ object Multimodal {
           MediaMeta(id, kind, rate, ch, samples.length / ch, samples.length, valid = true)
         case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
       }
-      case _ => decodeVideoStub(blob) match {
-        case Some((w, h, fr, pl)) => MediaMeta(id, kind, w, h, fr, pl, valid = true)
+      case _ => decodeAvi(blob) match {
+        case Some((w, h, frames)) =>
+          MediaMeta(id, kind, w, h, frames.length,
+            frames.map(_.length).sum, valid = true)
         case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
       }
     }
   }
 
-  /** Decoded payload (pixels / PCM samples / video payload), empty if
-    * malformed. */
+  /** Decoded payload (pixels / PCM samples / concatenated video frame
+    * chunks), empty if malformed. */
   private def payloadOf(kind: String, blob: Array[Byte]): Array[Byte] = kind match {
     case "image" => decodePng(blob).map(_._3).getOrElse(Array.empty)
     case "audio" => decodeWav(blob).map(_._3).getOrElse(Array.empty)
-    case _ => decodeVideoStub(blob) match {
-      case Some(_) => blob.drop(9)
-      case None => Array.empty
-    }
+    case _ => decodeAvi(blob).map(_._3.flatten).getOrElse(Array.empty)
   }
 
   /** Batched decode: one pass per partition, decoder state reusable. */
@@ -304,34 +367,37 @@ object Multimodal {
   }
 
   /** Frame sampling: emit every `stride`-th frame — the flatMap (generator)
-    * shape of video frame extraction. Images are 1-frame; video frames are
-    * equal payload chunks; audio "frames" are per-channel planes,
-    * de-interleaved from the PCM stream (sample i of channel c sits at
-    * index i·ch + c, as encodeWav writes it). */
+    * shape of video frame extraction. Images are 1-frame (the whole pixel
+    * payload); video frames are the AVI's actual '00dc' chunks (demuxed,
+    * codec-opaque); audio "frames" are per-channel planes, de-interleaved
+    * from the PCM stream (sample i of channel c sits at index i·ch + c, as
+    * encodeWav writes it). */
   def sampleFrames(media: Dataset[Media], stride: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val meta = decodeOne(m.media_id, m.kind, m.blob)
-      val payload = payloadOf(m.kind, m.blob)
-      if (m.kind == "audio") {
-        val ch = meta.height
-        if (!meta.valid || ch == 0 || payload.isEmpty) Iterator.empty
-        else (0 until ch by stride).iterator.map { c =>
-          val plane = new Array[Byte]((payload.length - c + ch - 1) / ch)
-          var i = c; var j = 0
-          while (i < payload.length) { plane(j) = payload(i); j += 1; i += ch }
-          Frame(m.media_id, c, plane)
-        }
-      } else {
-        val nf = meta.n_frames
-        if (!meta.valid || nf == 0 || payload.isEmpty) Iterator.empty
-        else {
-          val sz = math.max(payload.length / nf, 1)
-          (0 until nf by stride).iterator.map { f =>
-            Frame(m.media_id, f,
-              payload.slice(f * sz, math.min((f + 1) * sz, payload.length)))
+      m.kind match {
+        case "audio" =>
+          val meta = decodeOne(m.media_id, m.kind, m.blob)
+          val payload = payloadOf(m.kind, m.blob)
+          val ch = meta.height
+          if (!meta.valid || ch == 0 || payload.isEmpty) Iterator.empty
+          else (0 until ch by stride).iterator.map { c =>
+            val plane = new Array[Byte]((payload.length - c + ch - 1) / ch)
+            var i = c; var j = 0
+            while (i < payload.length) { plane(j) = payload(i); j += 1; i += ch }
+            Frame(m.media_id, c, plane)
           }
-        }
+        case "video" =>
+          decodeAvi(m.blob) match {
+            case Some((_, _, frames)) =>
+              (0 until frames.length by stride).iterator
+                .map(f => Frame(m.media_id, f, frames(f)))
+            case None => Iterator.empty
+          }
+        case _ =>
+          val payload = payloadOf(m.kind, m.blob)
+          if (payload.isEmpty) Iterator.empty
+          else Iterator.single(Frame(m.media_id, 0, payload))
       }
     }
   }

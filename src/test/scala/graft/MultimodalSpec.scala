@@ -92,6 +92,73 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
+  test("PNG decoder parity with javax.imageio — an independent JDK oracle, " +
+    "including Sub/Up filter scanlines") {
+    def assertParity(png: Array[Byte]): Unit = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, "ImageIO rejected a PNG our encoder produced")
+      val Some((w, h, px)) = Multimodal.decodePng(png)
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xFF) == raster.getSample(x, y, 0),
+          s"pixel ($x,$y) diverges from ImageIO")
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 15) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      assertParity(Multimodal.encodePng(w, h,
+        Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)))
+    }
+    // filter types 1 (Sub) and 2 (Up): raw scanlines hand-deflated, CRC'd
+    val (w, h) = (4, 3)
+    val raw = Array[Byte](1, 10, 5, 5, 5, 2, 1, 1, 1, 1, 0, 9, 9, 9, 9)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    def chunkBytes(tag: String, b: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes); crc.update(b)
+      val len = b.length; val v = crc.getValue.toInt
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        tag.getBytes ++ b ++
+        Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    }
+    val shell = Multimodal.encodePng(w, h, new Array[Byte](w * h))
+    assertParity(shell.take(8 + 12 + 13) ++
+      chunkBytes("IDAT", out.toByteArray) ++ chunkBytes("IEND", Array.empty))
+    // and over the synthetic corpus's image blobs
+    Multimodal.synthMedia(spark, 60, 42L).collect()
+      .filter(_.kind == "image").foreach(m => assertParity(m.blob))
+  }
+
+  test("AVI round-trip: encode → demux recovers dimensions and exact frame " +
+    "chunks; corruption and header/chunk mismatch fail") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 10) {
+      val w = 16 + rnd.nextInt(64); val h = 16 + rnd.nextInt(64)
+      val frames = Array.fill(1 + rnd.nextInt(8))(
+        Array.fill[Byte](50 + rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      val avi = Multimodal.encodeAvi(w, h, frames)
+      val Some((dw, dh, dframes)) = Multimodal.decodeAvi(avi)
+      assert(dw == w && dh == h && dframes.length == frames.length)
+      frames.zip(dframes).foreach { case (a, b) => assert(a.sameElements(b)) }
+      // truncation and signature damage must fail cleanly
+      assert(Multimodal.decodeAvi(avi.take(avi.length / 2)).isEmpty)
+      val bad = avi.clone(); bad(8) = 'X'
+      assert(Multimodal.decodeAvi(bad).isEmpty)
+    }
+    // a frame-count lie in avih (header says 3, movi carries 2) is rejected
+    val lying = Multimodal.encodeAvi(20, 20,
+      Array.fill(3)(Array.fill[Byte](60)(1)))
+    // avih TotalFrames sits at hdrl-body offset: find 'avih' tag, +8+16
+    val idx = lying.indexOfSlice("avih".getBytes)
+    lying(idx + 8 + 16) = 2
+    assert(Multimodal.decodeAvi(lying).isEmpty)
+  }
+
   test("decode parses every synthetic blob; malformed blobs degrade to valid=false") {
     val media = Multimodal.synthMedia(spark, 500, 42L)
     val meta = Multimodal.decode(media)
