@@ -111,7 +111,8 @@ object SparkEntry {
     "q_forest_topk" -> ((s, d) =>
       graft.ops.MinHashSearch.forestTopK(docs(s, d), mhQueries, 10)),
     // --- evaluation harness (reference results.py): hit rates per engine
-    //     and query variant; rows-only (the perturbation is seeded Scala)
+    //     and query variant; the md5-seeded perturbation makes the whole
+    //     query-set derivation SQL-expressible → full DuckDB twin ---------
     "q_eval_hitrate" -> ((s, d) => graft.ops.Evaluate.hitRates(docs(s, d))),
     // --- multimodal plumbing (rows-only: binary decode is a stub seam) ---
     "q_multimodal" -> ((s, _) => graft.ops.Multimodal.summary(s, 2000)),
@@ -506,6 +507,111 @@ object SparkEntry {
          |             ORDER BY depth DESC, jaccard DESC, doc_id) AS rank
          |           FROM jac)
          |SELECT query_id, rank, doc_id, depth, jaccard FROM ranked WHERE rank <= 10""".stripMargin,
+    // The evaluation harness, end-to-end in SQL: the SAME seeded query set
+    // (first 20 docs' first 8 tokens; perturbed = drop the 2 positions that
+    // sort first by md5("42:docId:i")) is derived from the documents table,
+    // then all three engines (fixed-band LSH, LSH forest, brute BM25) and
+    // the hit-rate aggregation run relationally — the CTE shapes are the
+    // already-verified q_minhash_search / q_forest_topk / q_bm25_topk twins.
+    "q_eval_hitrate" ->
+      s"""WITH $TOKS, $MH, $BANDS,
+         |d20 AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS qi
+         |        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)),
+         |q8 AS (SELECT doc_id, qi, term, pos FROM (
+         |         SELECT d.doc_id, d.qi, t.term,
+         |                row_number() OVER (PARTITION BY d.doc_id ORDER BY t.ord) AS pos
+         |         FROM d20 d JOIN toks t ON t.doc_id = d.doc_id)
+         |       WHERE pos <= 8),
+         |eligible AS (SELECT doc_id FROM q8 GROUP BY 1 HAVING count(*) >= 3),
+         |qv AS (
+         |  SELECT qi * 2 AS query_id, doc_id AS expect_doc, 'exact' AS variant, term
+         |  FROM q8 WHERE doc_id IN (SELECT doc_id FROM eligible)
+         |  UNION ALL
+         |  SELECT qi * 2 + 1, doc_id, 'perturbed', term
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY md5('42:' || doc_id::VARCHAR || ':' || (pos - 1)::VARCHAR)) AS dr
+         |        FROM q8 WHERE doc_id IN (SELECT doc_id FROM eligible))
+         |  WHERE dr > 2),
+         |eqt AS (SELECT DISTINCT query_id, term FROM qv),
+         |expq AS (SELECT DISTINCT query_id, expect_doc, variant FROM qv),
+         |nq AS (SELECT variant, count(*) AS n_queries FROM expq GROUP BY 1),
+         |qsig AS (SELECT query_id, s.seed,
+         |         min(substr(md5(s.seed::VARCHAR || ':' || eqt.term), 1, 16)) AS minhash
+         |         FROM eqt CROSS JOIN (SELECT unnest(range(8)) AS seed) s GROUP BY 1, 2),
+         |qbands AS (SELECT query_id, seed // 2 AS band,
+         |           md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+         |           FROM qsig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT q.query_id, d.doc_id
+         |         FROM qbands q JOIN bands d ON d.band = q.band AND d.band_hash = q.band_hash),
+         |dtok AS (SELECT DISTINCT doc_id, term FROM toks),
+         |dsize AS (SELECT doc_id, count(*) AS dn FROM dtok GROUP BY 1),
+         |qsize AS (SELECT query_id, count(*) AS qn FROM eqt GROUP BY 1),
+         |inter AS (SELECT c.query_id, c.doc_id, count(*) AS i
+         |          FROM cand c JOIN dtok d ON d.doc_id = c.doc_id
+         |          JOIN eqt ON eqt.query_id = c.query_id AND eqt.term = d.term
+         |          GROUP BY 1, 2),
+         |mh_top AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT c.query_id, c.doc_id,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY round(coalesce(i.i, 0) * 1.0 / (qs.qn + ds.dn - coalesce(i.i, 0)), 6) DESC,
+         |                      c.doc_id) AS rank
+         |    FROM cand c
+         |    LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+         |    JOIN dsize ds ON ds.doc_id = c.doc_id
+         |    JOIN qsize qs ON qs.query_id = c.query_id)
+         |  WHERE rank <= 10),
+         |rr AS (SELECT unnest(range(1, 9)) AS r),
+         |pref AS (SELECT doc_id, rr.r, md5(string_agg(minhash, ',' ORDER BY seed)) AS ph
+         |         FROM mh CROSS JOIN rr WHERE mh.seed < rr.r GROUP BY 1, 2),
+         |qpref AS (SELECT query_id, rr.r, md5(string_agg(minhash, ',' ORDER BY seed)) AS ph
+         |          FROM qsig CROSS JOIN rr WHERE qsig.seed < rr.r GROUP BY 1, 2),
+         |fcand AS (SELECT q.query_id, d.doc_id, max(q.r) AS depth
+         |          FROM qpref q JOIN pref d ON d.r = q.r AND d.ph = q.ph GROUP BY 1, 2),
+         |finter AS (SELECT c.query_id, c.doc_id, count(*) AS i
+         |           FROM fcand c JOIN dtok d ON d.doc_id = c.doc_id
+         |           JOIN eqt ON eqt.query_id = c.query_id AND eqt.term = d.term
+         |           GROUP BY 1, 2),
+         |forest_top AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT c.query_id, c.doc_id,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY c.depth DESC,
+         |                      round(coalesce(i.i, 0) * 1.0 / (qs.qn + ds.dn - coalesce(i.i, 0)), 6) DESC,
+         |                      c.doc_id) AS rank
+         |    FROM fcand c
+         |    LEFT JOIN finter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+         |    JOIN dsize ds ON ds.doc_id = c.doc_id
+         |    JOIN qsize qs ON qs.query_id = c.query_id)
+         |  WHERE rank <= 10),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |btf AS (SELECT e.query_id, t.doc_id, t.term, count(*) AS tf
+         |        FROM toks t JOIN eqt e ON e.term = t.term GROUP BY 1, 2, 3),
+         |bdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM btf GROUP BY 1),
+         |bm_top AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |    FROM (SELECT btf.query_id, btf.doc_id,
+         |                 round(sum(ln(1 + (stats.n - bdf.df + 0.5) / (bdf.df + 0.5)) *
+         |                     btf.tf * 2.2 /
+         |                     (btf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+         |          FROM btf JOIN bdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |          GROUP BY 1, 2))
+         |  WHERE rank <= 10),
+         |allhits AS (
+         |  SELECT 'minhash_lsh' AS engine, query_id, doc_id FROM mh_top
+         |  UNION ALL SELECT 'minhash_forest', query_id, doc_id FROM forest_top
+         |  UNION ALL SELECT 'bm25', query_id, doc_id FROM bm_top)
+         |SELECT h.engine, e.variant, nq.n_queries,
+         |       sum(CASE WHEN h.doc_id = e.expect_doc THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |       round(sum(CASE WHEN h.doc_id = e.expect_doc THEN 1 ELSE 0 END) * 1.0
+         |             / nq.n_queries, 6) AS hit_rate
+         |FROM allhits h
+         |JOIN expq e USING (query_id)
+         |JOIN nq ON nq.variant = e.variant
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_events_window" ->
       """SELECT event_type, (floor(epoch(ts) / 300))::BIGINT AS bucket,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

@@ -10,9 +10,19 @@ import org.apache.spark.sql.functions._
   *
   * The reference perturbs with an unseeded RNG (results.py:183 —
   * non-reproducible); here drops are a pure function of (seed, doc, word
-  * position), so every evaluation is replayable.
+  * position) — positions ordered by md5("seed:docId:i") — so every
+  * evaluation is replayable AND the whole harness has an exact DuckDB
+  * oracle twin (SparkEntry.q_eval_hitrate derives the identical query set
+  * in SQL).
   */
 object Evaluate {
+
+  /** Hex MD5 of a string — the portable ordering key for seeded drops
+    * (DuckDB's md5() produces the identical hex). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 
   case class EvalQuery(query_id: Long, expect_doc: Long, variant: String,
                        query: String)
@@ -30,8 +40,8 @@ object Evaluate {
       if (toks.length < 3) Nil
       else {
         val exact = EvalQuery(qi * 2L, docId, "exact", toks.mkString(" "))
-        val keep = toks.indices.sortBy(i =>
-          graft.data.Synth.mix64(seed ^ docId ^ i)).drop(nDrop).sorted
+        val keep = toks.indices.sortBy(i => md5Hex(s"$seed:$docId:$i"))
+          .drop(nDrop).sorted
         val perturbed = EvalQuery(qi * 2L + 1, docId, "perturbed",
           keep.map(toks).mkString(" "))
         Seq(exact, perturbed)
