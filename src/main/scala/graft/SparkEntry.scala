@@ -13,9 +13,13 @@ import graft.query.Bm25
   * Every SQL-expressible operator has a DuckDB oracle in [[oracleSql]] with
   * byte-matching column names and deterministic values (scores/ratios are
   * rounded to 6 dp *before* any ranking; ranking ties break on the id).
-  * The inverted-index/BM25 flagship path over the synthetic pages corpus is
-  * exercised by the rows-only q_pages_* entries (its correctness gate is the
-  * in-repo brute-force-oracle test suite, IndexSpec).
+  * The inverted-index/BM25 flagship path is oracled twice: q_index_bm25
+  * (DuckDB tokenizes the documents table independently) and q_pages_*
+  * (oracles over an exported tokenized-pages parquet verify the salting,
+  * block chunking, and BM25 scoring relationally); IndexSpec adds the
+  * in-repo brute-force oracle. The only remaining rows-only entry is
+  * q_multimodal (binary codec work — externally oracled against
+  * javax.imageio in MultimodalSpec instead).
   */
 object SparkEntry {
 
@@ -158,10 +162,16 @@ object SparkEntry {
         .filter(col("rank") <= 20)
         .select(col("doc_id"), col("score"), col("rank"))
     }),
-    // --- inverted-index flagship over synthetic pages (rows-only; the
-    //     DuckDB-independent oracle is IndexSpec's brute-force BM25) -------
+    // --- inverted-index flagship over synthetic pages, now DuckDB-oracled:
+    //     both queries first export the Spark-tokenized pages (doc_id, url,
+    //     term, tf, dl) to a fixed parquet path; the oracles recompute
+    //     salting + block chunking (q_pages_postings) and brute BM25 +
+    //     re-rank (q_pages_bm25) from that export in SQL. The tokenizer
+    //     itself is covered by its golden fixtures and by q_index_bm25's
+    //     independently-tokenizing oracle. -------------------------------
     "q_pages_postings" -> ((s, _) => {
       import s.implicits._
+      exportPagesTokens(s)
       val p = BuildParams(numShards = 1, saltThreshold = 50, targetPerSalt = 100)
       val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), p)
       val stats = tok.agg(count(lit(1)), avg(col("dl"))).collect()(0)
@@ -176,13 +186,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_blocks"), sum(col("n_docs")).as("n_postings"))
     }),
     "q_pages_bm25" -> ((s, _) => {
+      exportPagesTokens(s)
       val dir = s"${sys.props("java.io.tmpdir")}/graft_pages_idx_v2"
       InvertedIndex.build(s, Synth.pages(s, 1000, 42L), dir,
         BuildParams(numShards = 2))
       val h = Bm25.open(s, dir)
-      h.withUrls(h.topkWand("determine user timezone", 10))
+      // over-fetch (40 > k=10) then re-rank on the ROUNDED score with
+      // doc_id tiebreak — same bit-stable reshaping as q_index_bm25
+      val res = h.withUrls(h.topkWand(pagesQueryTerms.mkString(" "), 40))
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("url"))
+      res.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("score"), col("rank"), col("url"))
     })
   )
+
+  /** Fixed query for the pages-index path (vocabulary words of mixed
+    * document frequency plus one rare planted-title term, none a stopword
+    * — the oracle pins the same terms). Mixed df makes the top-10 a real
+    * multi-term ranking, not a single-hit lookup. */
+  val pagesQueryTerms: Seq[String] = Seq("w13", "w40", "w120", "timezone")
+
+  /** Fixed parquet export of the Spark-tokenized 1000-page synthetic corpus
+    * — the shared input of the q_pages_* DuckDB oracles. Deterministic
+    * (pure function of seed 42), idempotent overwrite; /tmp (not
+    * java.io.tmpdir, which Bench redirects) because the oracle SQL carries
+    * the literal path. */
+  private val PagesExportDir = "/tmp/graft_pages_export_v1"
+  private def exportPagesTokens(s: SparkSession): Unit = {
+    val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), BuildParams(numShards = 1))
+    IndexBuild.termFreqs(tok)
+      .join(tok.select(col("doc_id"), col("url")), "doc_id")
+      .select(col("doc_id"), col("url"), col("term"), col("tf"), col("dl"))
+      .coalesce(1).write.mode("overwrite").parquet(PagesExportDir)
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (validated against DuckDB v1.0; same column names,
@@ -622,6 +661,50 @@ object SparkEntry {
         |r AS (SELECT event_type, user_id, total,
         |      row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rn
         |      FROM s)
-        |SELECT event_type, user_id, total FROM r WHERE rn = 1""".stripMargin
+        |SELECT event_type, user_id, total FROM r WHERE rn = 1""".stripMargin,
+    // q_pages_*: oracles over the exported Spark-tokenized pages corpus
+    // (written by the queries themselves before the driver's DuckDB pass).
+    // q_pages_postings recomputes the engine's EXACT salting + block
+    // chunking relationally: a term with df > 50 is range-salted into
+    // max(2, ceil(df/100)) buckets of doc_id // (Long.Max // n + 1), and
+    // each (term, salt) run is chunked into ceil(run/128) blocks.
+    "q_pages_postings" ->
+      s"""WITH tf AS (SELECT doc_id, term FROM $PagesExportSql),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |salted AS (SELECT t.term,
+         |  CASE WHEN d.df > 50 THEN
+         |    t.doc_id // (9223372036854775807 //
+         |      GREATEST(2, CAST(ceil(d.df / 100.0) AS BIGINT)) + 1)
+         |  ELSE 0 END AS salt
+         |  FROM tf t JOIN df d USING (term)),
+         |blocks AS (SELECT term, salt, ceil(count(*) / 128.0)::BIGINT AS nb,
+         |                  count(*)::BIGINT AS np
+         |           FROM salted GROUP BY 1, 2)
+         |SELECT term, sum(nb)::BIGINT AS n_blocks, sum(np)::BIGINT AS n_postings
+         |FROM blocks GROUP BY 1""".stripMargin,
+    "q_pages_bm25" ->
+      s"""WITH pe AS (SELECT * FROM $PagesExportSql),
+         |pdocs AS (SELECT doc_id, any_value(url) AS url, any_value(dl) AS dl
+         |          FROM pe GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM pdocs),
+         |qtf AS (SELECT doc_id, term, tf, dl FROM pe
+         |        WHERE term IN (${pagesQueryTerms.map("'" + _ + "'").mkString(", ")})),
+         |df AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1),
+         |scored AS (
+         |  SELECT qtf.doc_id,
+         |         round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |             (qtf.tf * 2.2 /
+         |              (qtf.tf + 1.2 * (0.25 + (0.75 / stats.avgdl) * qtf.dl)))), 6) AS score
+         |  FROM qtf JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY 1),
+         |ranked AS (SELECT doc_id, score,
+         |           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |           FROM scored)
+         |SELECT r.doc_id, r.score, r.rank, d.url
+         |FROM ranked r JOIN pdocs d USING (doc_id) WHERE rank <= 10""".stripMargin
   )
+
+  /** DuckDB reader of [[PagesExportDir]] (glob over Spark part files). */
+  private def PagesExportSql =
+    s"read_parquet('$PagesExportDir/*.parquet')"
 }
