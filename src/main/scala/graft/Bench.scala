@@ -48,6 +48,20 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_CORES_LOW", "2").toInt
   private val CoresHigh = 4 * CoresLow
 
+  /** WAND-phase query set. Block-max pruning needs posting lists with MANY
+    * blocks and a high-impact term to set theta — the planted refTitles
+    * terms occur O(1) times (1-2 blocks each; theta can't even form below
+    * k postings), which is why they are the wrong probe here. These mix
+    * hot vocabulary terms (w1 ≈ 92% df → thousands of blocks whose bounds
+    * a rare term's theta can clear) with mid and rare terms — the classic
+    * WAND-winning shape. */
+  private val WandQueries = Seq(
+    "numpy python matrix w1", // rare planted terms + the hottest term
+    "w1 w3 the0",             // all-hot: stress the no-pruning worst case
+    "w13 w40 w120 w300",      // mid-df mix
+    "timezone w2 w90",        // rare + hot + mid
+    "w7 w20 w45 w200")
+
   /** All bench I/O (shuffle spill, scratch, index dirs) lives on tmpfs.
     * The sandbox's one virtio disk is a serial resource that collapses
     * under 32 concurrent writers (cumulative sys-time 1.75× user-time;
@@ -205,14 +219,19 @@ object Bench {
       }
       results += name -> round3(sec)
     }
-    // production-hash datapoint: md5-portable (the oracle shape, = q_minhash)
-    // vs the xxhash64 production path, same corpus, same session
+    // production-hash datapoint: md5-portable (the oracle shape) vs the
+    // xxhash64 production path. Measured over 100k bench pages (~10M token
+    // hashes × 8 seeds) — the tiny sf documents table is overhead-dominated
+    // and can't separate the hash costs.
     try {
-      val docsDf = s.read.parquet(s"$sfDir/documents.parquet")
+      import org.apache.spark.sql.functions.{col, xxhash64, lit}
+      val hashDocs = s.read.parquet(pagesPath).limit(100000)
+        .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+          col("text"))
       results += "minhash_md5_sec" ->
-        round3(time(graft.ops.Dedup.minhash(docsDf).count())._2)
+        round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
       results += "minhash_xx64_sec" ->
-        round3(time(graft.ops.Dedup.minhash(docsDf,
+        round3(time(graft.ops.Dedup.minhash(hashDocs,
           hash = graft.ops.Dedup.Xx64).count())._2)
     } catch {
       case e: Throwable =>
@@ -220,6 +239,102 @@ object Bench {
     }
     s.stop()
     emit()
+
+    // ---- phase 3b: (8,32) scaling datapoint -----------------------------
+    // The headline pair is (2,8) because invisible neighbors can shrink the
+    // effective-core envelope below 32 (see the class doc); when the box
+    // cooperates, an (8,32) pair is the stronger statement — record one
+    // best-effort rep of it alongside.
+    if (CoresLow == 2 && benchSpent < benchBudget) {
+      try {
+        val t8 = timedBuild(8, warm = true)
+        results += "build_p8_extra" -> round3(t8)
+        emit()
+        val t32 = timedBuild(32, warm = true)
+        results += "build_p32_extra" -> round3(t32)
+        results += "scaling_efficiency_8_32" ->
+          round3((BenchDocs / t32) / (BenchDocs / t8) / 4.0)
+      } catch {
+        case e: Throwable =>
+          errors += "scaling_8_32" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
+      emit()
+    }
+
+    // ---- phase 3c: block-max WAND above the adaptive cutoff -------------
+    // Every suite/index query so far sits below wandCutoff (2M docs), so
+    // production traffic always took the exhaustive single-pass plan. This
+    // phase builds an index ABOVE the cutoff and measures the pruning path
+    // against the exhaustive one on the reference query set, plus how many
+    // blocks the bound actually skips.
+    val wandDocs = sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "2200000").toLong
+    if (wandDocs > 0 && benchSpent < benchBudget) {
+      val s2 = session(CoresHigh)
+      // the ONE build shuffle must be partitioned ∝ data, exactly as on a
+      // real cluster: at 2.2M docs (~230M postings) the suite's 2×cores=16
+      // partitions put ~600 MB through every sort task and the salted sort
+      // churns in spill — measured 1074 s vs 22.6 s for 300k docs (47× for
+      // 7.3× the data). ~15k docs per shuffle partition restores the
+      // linear profile; AQE coalesces the excess on the small phases.
+      s2.conf.set("spark.sql.shuffle.partitions",
+        math.max(2 * CoresHigh, (wandDocs / 15000).toInt).toString)
+      try {
+        import s2.implicits._
+        val wPages = s"$ShmBase/pages_wand_$wandDocs"
+        if (!Files.exists(Paths.get(wPages, "_SUCCESS"))) {
+          val (_, gsec) = time(Synth.pages(s2, wandDocs, 42L, 128)
+            .write.mode("overwrite").parquet(wPages))
+          results += "wand_pages_gen_sec" -> round3(gsec)
+          emit()
+        }
+        // iteration knob: point at a pre-built index to skip the build
+        val idxDir = sys.env.getOrElse("SPARK_GRAFT_WAND_IDX", s"$tmp/graft_wand_idx")
+        if (InvertedIndex.committedShards(s2, idxDir).isEmpty) {
+          InvertedIndex.deleteDir(idxDir)
+          val (_, bsec) = time(InvertedIndex.build(s2,
+            s2.read.parquet(wPages).as[Page], idxDir, BuildParams(numShards = 4)))
+          results += "wand_build_sec" -> round3(bsec)
+          results += "wand_docs_per_sec" -> round3(wandDocs / bsec)
+          emit()
+        }
+        val h0 = Bm25.open(s2, idxDir).tuneForPointQueries()
+        // smoke-test knob: lower the cutoff to exercise this phase on a
+        // small index; the driver run uses the production default
+        val h = sys.env.get("SPARK_GRAFT_WAND_CUTOFF")
+          .map(c => h0.copy(wandCutoff = c.toLong)).getOrElse(h0)
+        require(h.nDocs >= h.wandCutoff,
+          s"wand phase: ${h.nDocs} docs is below the ${h.wandCutoff} cutoff")
+        h.topkWand("w1 w2", 10).collect() // warm: pruning path
+        h.topk("w1 w2", 10).collect() //      and exhaustive path
+        var blocksTotal = 0L
+        var blocksSurvived = 0L
+        val (wandTs, exhTs) = WandQueries.map { q =>
+          // alternate paths, per-query minimum of two passes (noisy host)
+          val w1 = time(h.topkWand(q, 10).collect())._2
+          val e1 = time(h.topk(q, 10).collect())._2
+          val w2 = time(h.topkWand(q, 10).collect())._2
+          val e2 = time(h.topk(q, 10).collect())._2
+          val (bt, bs, _) = h.wandStats(q, 10)
+          blocksTotal += bt; blocksSurvived += bs
+          (math.min(w1, w2), math.min(e1, e2))
+        }.unzip
+        // result identity at scale (the IndexSpec identity, here above the
+        // cutoff with pruning live): any divergence is a bench failure
+        for (q <- WandQueries) {
+          val a = h.topkWand(q, 10).collect().map(_.toString).toSeq
+          val b = h.topk(q, 10).collect().map(_.toString).toSeq
+          if (a != b) sys.error(s"WAND != exhaustive at scale for '$q'")
+        }
+        results += "wand_query_avg_sec" -> round3(wandTs.sum / wandTs.length)
+        results += "exhaustive_query_avg_sec" -> round3(exhTs.sum / exhTs.length)
+        results += "wand_blocks_total" -> blocksTotal.toDouble
+        results += "wand_blocks_survived" -> blocksSurvived.toDouble
+      } catch {
+        case e: Throwable =>
+          errors += "wand_scale" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      } finally s2.stop()
+      emit()
+    }
 
     // ---- phase 4: extra alternating reps to tighten the minima ----------
     for (rep <- 1 until Reps if benchSpent < benchBudget) runRep(rep)
@@ -257,6 +372,19 @@ object Bench {
         md ++= s"| **scaling efficiency (N→4N)** | **$v** (north rule: ≥ 0.8) |\n")
       row("bm25_query_avg_sec", "BM25 top-10 avg latency (s)")
       row("bm25_query_max_sec", "BM25 top-10 max latency (s)")
+      row("build_p8_extra", "extra idle-box pair: build local[8] (s)")
+      row("build_p32_extra", "extra idle-box pair: build local[32] (s)")
+      r.get("scaling_efficiency_8_32").foreach(v =>
+        md ++= s"| scaling efficiency (8→32, 1 rep) | $v |\n")
+      row("wand_build_sec", "above-cutoff index build (s)")
+      row("wand_docs_per_sec", "above-cutoff build docs/s")
+      row("wand_query_avg_sec", "WAND top-10 avg latency above cutoff (s)")
+      row("exhaustive_query_avg_sec", "exhaustive top-10 avg latency, same index (s)")
+      for (t <- r.get("wand_blocks_total"); sv <- r.get("wand_blocks_survived"))
+        md ++= s"| WAND blocks survived / total | ${sv.toLong} / ${t.toLong} " +
+          f"(${100.0 * (1 - sv / math.max(t, 1.0))}%.1f%% skipped) |\n"
+      row("minhash_md5_sec", "minhash md5-portable (s)")
+      row("minhash_xx64_sec", "minhash xxhash64 production (s)")
       md ++= s"| operator suite total | ${round3(total)} s |\n\n"
       val repsL = r.collect { case (k, v) if k.startsWith(s"build_p${CoresLow}_rep") => v }
       val repsH = r.collect { case (k, v) if k.startsWith(s"build_p${CoresHigh}_rep") => v }

@@ -42,6 +42,22 @@ object Main {
       println(f"built $built shards over $n docs in $sec%.2f s " +
         f"(${n.toLong / math.max(sec, 1e-9)}%.0f docs/sec)")
       spark.read.parquet(s"$dir/manifest").orderBy("partition_id").show(false)
+    case "wandstat" :: dir :: k :: qw if qw.nonEmpty =>
+      // pruning telemetry + both paths timed, per query
+      val h = Bm25.open(spark, dir).tuneForPointQueries().copy(wandCutoff = 0L)
+      val q = qw.mkString(" ")
+      h.topkWand("w1 w2", 3).collect(); h.topk("w1 w2", 3).collect() // warm
+      val (tot, sur, theta) = h.wandStats(q, k.toInt)
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tw = math.min(t(h.topkWand(q, k.toInt).collect()),
+        t(h.topkWand(q, k.toInt).collect()))
+      val te = math.min(t(h.topk(q, k.toInt).collect()),
+        t(h.topk(q, k.toInt).collect()))
+      println(f"wandstat \"$q\": blocks $sur/$tot survived " +
+        f"(${100.0 * (tot - sur) / math.max(tot, 1)}%.1f%% skipped) theta=$theta%.4f " +
+        f"wand=$tw%.3f s exhaustive=$te%.3f s")
     case verb :: dir :: k :: qw if (verb == "query" || verb == "wand") && qw.nonEmpty =>
       val h = Bm25.open(spark, dir)
       val q = qw.mkString(" ")

@@ -34,6 +34,13 @@ import graft.index.{IndexBuild, InvertedIndex, Posting, PostingBlock, TermStat}
   */
 object Bm25 {
 
+  /** Fixed doc_id-range grid for the range-aware WAND bound (cells =
+    * rangeSalt(doc_id, WandGrid); same arithmetic as the build's salt, so
+    * block ranges map to contiguous cell spans). 64 cells keep the
+    * per-query (term × cell) bound table tiny while giving hot-term blocks
+    * (which span 1-2 cells at salted density) sharp other-term bounds. */
+  final val WandGrid = 64
+
   case class QueryTerm(term: String, qtf: Int)
   case class TermInfo(term: String, qtf: Int, df: Long, idf: Double, gmax: Double)
 
@@ -260,26 +267,113 @@ object Bm25 {
       val blocks = loadBlocks(infos.map(_.term))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val best = infos.maxBy(ti => ti.qtf * ti.idf * ti.gmax)
-        val bw = best.qtf * best.idf
-        val theta: Double = {
-          val partials = blocks.filter($"term" === best.term)
-            .flatMap(IndexBuild.decodeBlock _)
-            .select((lit(bw) * tfSatCol($"tf", $"dl", avgdl)).as("s"))
-            .orderBy(desc("s")).limit(k).as[Double].collect()
-          if (partials.length < k) Double.NegativeInfinity else partials.last
-        }
-        val selfW = infos.map(ti => ti.term -> ti.qtf * ti.idf).toMap
-        val othersBound = infos.map { ti =>
-          ti.term -> infos.filter(_.term != ti.term)
-            .map(o => o.qtf * o.idf * o.gmax).sum
-        }.toMap
-        val bcSelf = spark.sparkContext.broadcast(selfW)
-        val bcOthers = spark.sparkContext.broadcast(othersBound)
-        val survivors = blocks.filter { b =>
-          bcSelf.value(b.term) * b.max_tfsat + bcOthers.value(b.term) >= theta
-        }
+        val (survivors, _) = wandSurvivors(blocks, infos, k)
         scoreBlocks(survivors, infos, k)
+      } finally blocks.unpersist()
+    }
+
+    /** The block-max bound: theta (a lower bound on the k-th best score,
+      * from the most impactful term's partial scores) and the blocks whose
+      * upper bound clears it. Shared by [[topkWand]] and [[wandStats]].
+      *
+      * The other-terms bound is RANGE-AWARE: doc_id space is cut into
+      * [[Bm25.WandGrid]] fixed cells, and one small aggregation over the
+      * (already cached) block METADATA yields each term's max saturated
+      * score per cell it has postings in. Because range salting makes
+      * blocks doc-range disjoint, a block's upper bound adds, for every
+      * other term, only that term's max over the CELLS THE BLOCK SPANS —
+      * zero where the term has no postings. This is what makes block-max
+      * WAND actually skip: with a global other-terms bound, any strong
+      * query term keeps every block of every other term alive (a hot
+      * term's 10^4 blocks all survive because SOME doc somewhere scores
+      * high on the rare term); with the grid, the hot term's blocks
+      * survive only where the rare term's docs actually live.
+      *
+      * theta needs the best term's k-th partial to EXIST: terms with
+      * df < k are skipped when choosing it (their partials can't bound
+      * anything); if no term qualifies, theta is −inf and nothing prunes
+      * (correct, and only possible for queries whose every term is rarer
+      * than k — those scans are tiny anyway).
+      *
+      * Safety: cellMax(t', c) ≥ tfsat of every posting of t' in any doc of
+      * cell c (stale-avgdl inflation already applied by loadBlocks), so
+      * the per-block bound still dominates every true document score in
+      * the block — the topk≡topkWand identity argument is unchanged. */
+    private def wandSurvivors(blocks: Dataset[PostingBlock],
+                              infos: Seq[TermInfo],
+                              k: Int): (Dataset[PostingBlock], Double) = {
+      val eligible = infos.filter(_.df >= k)
+      if (eligible.isEmpty) return (blocks, Double.NegativeInfinity)
+      val best = eligible.maxBy(ti => ti.qtf * ti.idf * ti.gmax)
+      val bw = best.qtf * best.idf
+      // theta and the cell-bound table are both small jobs over the cached
+      // blocks — submitted CONCURRENTLY (they dominate the pruning path's
+      // fixed latency; overlapping them halves it)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val thetaF = Future {
+        val partials = blocks.filter($"term" === best.term)
+          .flatMap(IndexBuild.decodeBlock _)
+          .select((lit(bw) * tfSatCol($"tf", $"dl", avgdl)).as("s"))
+          .orderBy(desc("s")).limit(k).as[Double].collect()
+        if (partials.length < k) Double.NegativeInfinity else partials.last
+      }
+      // per-(term, grid-cell) max_tfsat from block metadata. Cell
+      // arithmetic is the SAME typed rangeSalt used in the filter below
+      // (bit-identical integer division — a SQL `/` would go through
+      // double and could disagree at cell boundaries, silently
+      // under-bounding).
+      val cellMaxF = Future {
+        blocks
+          .flatMap { b =>
+            (IndexBuild.rangeSalt(b.first_doc, Bm25.WandGrid) to
+              IndexBuild.rangeSalt(b.last_doc, Bm25.WandGrid)).iterator
+              .map(c => (b.term, c, b.max_tfsat))
+          }
+          .groupBy($"_1", $"_2").agg(max($"_3").as("m"))
+          .as[(String, Int, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      }
+      val theta = Await.result(thetaF, Duration.Inf)
+      val cellMax = Await.result(cellMaxF, Duration.Inf)
+      if (theta == Double.NegativeInfinity) return (blocks, theta)
+      val weights = infos.map(ti => ti.term -> ti.qtf * ti.idf).toMap
+      val terms = infos.map(_.term)
+      val bcSelf = spark.sparkContext.broadcast(weights)
+      val bcCell = spark.sparkContext.broadcast(cellMax)
+      val bcTerms = spark.sparkContext.broadcast(terms)
+      (blocks.filter { b =>
+        val c0 = IndexBuild.rangeSalt(b.first_doc, Bm25.WandGrid)
+        val c1 = IndexBuild.rangeSalt(b.last_doc, Bm25.WandGrid)
+        var bound = bcSelf.value(b.term) * b.max_tfsat
+        for (t <- bcTerms.value if t != b.term) {
+          var m = 0.0
+          var c = c0
+          while (c <= c1) {
+            val v = bcCell.value.getOrElse((t, c), 0.0)
+            if (v > m) m = v
+            c += 1
+          }
+          bound += bcSelf.value(t) * m
+        }
+        bound >= theta
+      }, theta)
+    }
+
+    /** Pruning telemetry for one query: (blocks in the pruned term scan,
+      * blocks surviving the block-max bound, theta). Runs the same bound
+      * computation as [[topkWand]] (forcing the pruning path regardless of
+      * the adaptive cutoff) without scoring — the bench uses it to show
+      * skipping is actually engaged at scale. */
+    def wandStats(q: String, k: Int): (Long, Long, Double) = {
+      val infos = termInfos(q)
+      if (infos.isEmpty) return (0L, 0L, 0.0)
+      val blocks = loadBlocks(infos.map(_.term))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (survivors, theta) = wandSurvivors(blocks, infos, k)
+        (blocks.count(), survivors.count(), theta)
       } finally blocks.unpersist()
     }
 

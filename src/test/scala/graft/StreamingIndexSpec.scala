@@ -69,11 +69,15 @@ class StreamingIndexSpec extends SparkSpec {
     val (w1, w2) = all.splitAt(150)
     val created = BuildParams(numShards = 1, blockSize = 16, nTermBuckets = 8)
     InvertedIndex.build(spark, w1.toSeq.toDS(), idxDir, created)
+    val h0 = Bm25.open(spark, idxDir) // snapshot BEFORE the append
     // a restarted appender configured with a DIFFERENT bucket count must
     // not write into directories the reader (which trusts <dir>/params)
     // never probes
     StreamingIndex.appendSegment(spark, w2.toSeq.toDS(), idxDir, 5L,
       created.copy(nTermBuckets = 4))
+    // handle semantics: h0 stays a consistent pre-append snapshot; reopen()
+    // picks up the new segment
+    assert(h0.nDocs == w1.length && h0.reopen().nDocs == all.length)
     val h = Bm25.open(spark, idxDir)
     assert(h.nDocs == all.length)
     assert(h.nTermBuckets == 8, "reader must keep the creating layout")
