@@ -37,10 +37,13 @@ object Dedup {
   case object Xx64 extends HashMode
 
   /** 16-hex-char digest of `c` under `mode`, lexicographically orderable in
-    * both modes (md5 prefix / unsigned-64 padded hex). */
+    * both modes (md5 prefix / unsigned-64 padded hex). Xx64 renders via
+    * lpad(hex(..)) — pure codegen'd string ops; format_string("%016x")
+    * spins up a java.util.Formatter per row and measured SLOWER than md5,
+    * defeating the point of the production path. */
   private def hashHex(c: Column, mode: HashMode): Column = mode match {
     case Md5Portable => substring(md5(c.cast("binary")), 1, 16)
-    case Xx64 => format_string("%016x", xxhash64(c))
+    case Xx64 => lower(lpad(hex(xxhash64(c)), 16, "0"))
   }
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
