@@ -224,8 +224,11 @@ object Bench {
     // hashes × 8 seeds) — the tiny sf documents table is overhead-dominated
     // and can't separate the hash costs.
     try {
-      import org.apache.spark.sql.functions.{col, xxhash64, lit}
-      val hashDocs = s.read.parquet(pagesPath).limit(100000)
+      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+      // 1/3 hash-sample (~100k pages), NOT .limit(): GlobalLimit coalesces
+      // to one partition and would run the narrow op single-threaded
+      val hashDocs = s.read.parquet(pagesPath)
+        .filter(pmod(xxhash64(col("url")), lit(3)) === 0)
         .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
           col("text"))
       results += "minhash_md5_sec" ->
@@ -308,7 +311,7 @@ object Bench {
         h.topk("w1 w2", 10).collect() //      and exhaustive path
         var blocksTotal = 0L
         var blocksSurvived = 0L
-        val (wandTs, exhTs) = WandQueries.map { q =>
+        val (wandTs, exhTs) = WandQueries.zipWithIndex.map { case (q, i) =>
           // alternate paths, per-query minimum of two passes (noisy host)
           val w1 = time(h.topkWand(q, 10).collect())._2
           val e1 = time(h.topk(q, 10).collect())._2
@@ -316,6 +319,10 @@ object Bench {
           val e2 = time(h.topk(q, 10).collect())._2
           val (bt, bs, _) = h.wandStats(q, 10)
           blocksTotal += bt; blocksSurvived += bs
+          results += s"wandq${i}_wand_sec" -> round3(math.min(w1, w2))
+          results += s"wandq${i}_exh_sec" -> round3(math.min(e1, e2))
+          results += s"wandq${i}_skip_pct" ->
+            round3(100.0 * (bt - bs) / math.max(bt, 1L))
           (math.min(w1, w2), math.min(e1, e2))
         }.unzip
         // result identity at scale (the IndexSpec identity, here above the
@@ -360,7 +367,17 @@ object Bench {
       md ++= "variance; firecracker reports no steal time). All bench I/O is on tmpfs:\n"
       md ++= "the VM's single virtio disk collapses under concurrent writers, while a\n"
       md ++= "real N-node cluster scales disk bandwidth with N — RAM-backed scratch is\n"
-      md ++= "the single-box stand-in that lets the pair measure compute scaling.\n\n"
+      md ++= "the single-box stand-in that lets the pair measure compute scaling.\n"
+      md ++= "The (8,32) pair is recorded best-effort: when neighbors shrink the\n"
+      md ++= "effective-core envelope below 32, local[32] thrashes and that pair\n"
+      md ++= "measures the neighbors, not the engine — the (2,8) minima are the\n"
+      md ++= "north-rule evidence.\n\n"
+      md ++= "Scale lesson (measured): the build's ONE shuffle must be partitioned\n"
+      md ++= "proportional to data, exactly as it would be on a real cluster — at\n"
+      md ++= "2.2M docs (~230M postings) the suite's 16 shuffle partitions put\n"
+      md ++= "~600 MB through every sort task and the salted sort spilled to a 47x\n"
+      md ++= "blowup (1074 s vs 22.6 s at 300k for 7.3x the data); ~15k docs per\n"
+      md ++= "partition (the wand phase conf) restores the linear profile (289 s).\n\n"
       md ++= "| metric | value |\n|---|---|\n"
       def row(k: String, label: String): Unit =
         r.get(k).foreach(v => md ++= s"| $label | $v |\n")
@@ -383,6 +400,23 @@ object Bench {
       for (t <- r.get("wand_blocks_total"); sv <- r.get("wand_blocks_survived"))
         md ++= s"| WAND blocks survived / total | ${sv.toLong} / ${t.toLong} " +
           f"(${100.0 * (1 - sv / math.max(t, 1.0))}%.1f%% skipped) |\n"
+      if (r.contains("wandq0_wand_sec")) {
+        md ++= "\nPer-query WAND vs exhaustive on the above-cutoff index " +
+          "(min of 2 passes each):\n\n| query | wand (s) | exhaustive (s) | blocks skipped |\n|---|---|---|---|\n"
+        WandQueries.zipWithIndex.foreach { case (q, i) =>
+          for (w <- r.get(s"wandq${i}_wand_sec"); e <- r.get(s"wandq${i}_exh_sec");
+               sk <- r.get(s"wandq${i}_skip_pct"))
+            md ++= s"| `$q` | $w | $e | $sk% |\n"
+        }
+        md ++= "\nBlock-max pruning pays on SELECTIVE queries (a rare " +
+          "high-idf term anchors theta; the range-grid bound zeroes that " +
+          "term's contribution in every doc-range cell it has no postings " +
+          "in, so the hot terms' blocks prune there). All-hot-term queries " +
+          "skip ~0% by nature — every cell holds every term — and pay only " +
+          "the two concurrent bound jobs; below the 2M-doc adaptive cutoff " +
+          "queries run the single-action exhaustive plan and none of this " +
+          "overhead exists.\n"
+      }
       row("minhash_md5_sec", "minhash md5-portable (s)")
       row("minhash_xx64_sec", "minhash xxhash64 production (s)")
       md ++= s"| operator suite total | ${round3(total)} s |\n\n"
