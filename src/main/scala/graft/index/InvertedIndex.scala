@@ -197,7 +197,21 @@ object InvertedIndex {
     var built = 0
     for (wave <- todo.grouped(waveSize)) {
       val t0 = System.nanoTime()
-      phaseTimed("postings-build")(
+      // The wave's ONE shuffle must be partitioned ∝ data, whatever the
+      // session default: sum_dl IS the wave's posting count, so size the
+      // sort at ~1.5M postings (~60 MB of task state) per partition.
+      // Measured cliff this guards: 16 partitions × ~14M postings at 2.2M
+      // docs spilled the salted sort into a 47× blowup (1074 s vs a
+      // linear-profile 290 s); small builds keep the session value (we
+      // only ever RAISE it). Restored after the wave — a temporary wave-
+      // scoped setting, the moral equivalent of a per-job shuffle hint.
+      val wavePostings = todoStats.filter(s => wave.contains(s._1)).map(_._3).sum
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val wavePartitions = math.min(20000L,
+        math.max(prevShuffle.toLong, wavePostings / 1500000L)).toInt
+      if (wavePartitions != prevShuffle)
+        spark.conf.set("spark.sql.shuffle.partitions", wavePartitions.toString)
+      try phaseTimed("postings-build")(
         IndexBuild.buildShardPostings(tokenInstances(wave), hotDf, p, avgdl)
           .withColumn("bucket",
             pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
@@ -207,6 +221,8 @@ object InvertedIndex {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("shard", "bucket")
           .parquet(s"$dir/postings"))
+      finally if (wavePartitions != prevShuffle)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle.toString)
 
       // stats read the files just written (vectorized scan beats re-running
       // the build pipeline or caching it). There is deliberately NO separate
