@@ -72,6 +72,13 @@ object Main {
       println(f"wandstat \"$q\": blocks $sur/$tot survived " +
         f"(${100.0 * (tot - sur) / math.max(tot, 1)}%.1f%% skipped) theta=$theta%.4f " +
         f"wand=$tw%.3f s exhaustive=$te%.3f s")
+      // plan audit: the bound jobs' scan must be metadata-only (ReadSchema
+      // carries no *_vb payload column)
+      println("bound-scan plan (metadata-only ReadSchema expected):")
+      h.boundPlanString(q).linesIterator
+        .filter(l => l.contains("ReadSchema") || l.contains("Scan parquet") ||
+          l.contains("PushedFilters"))
+        .foreach(l => println("  " + l.trim))
     case verb :: dir :: k :: qw if (verb == "query" || verb == "wand") && qw.nonEmpty =>
       val h = Bm25.open(spark, dir)
       val q = qw.mkString(" ")

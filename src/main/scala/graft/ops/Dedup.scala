@@ -48,11 +48,20 @@ object Dedup {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
-  /** Exact dedup groups: content hash → group size + canonical (min) id. */
+  /** Exact dedup groups: content hash → group size + canonical (min) id.
+    *
+    * Both modes key on a 128-bit digest: EXACT dedup merges groups by hash
+    * equality alone, and a single 64-bit key collides ~10^4 times by
+    * birthday at the 10^12-doc design point — each collision silently
+    * dropping a distinct document. The Xx64 key is therefore two
+    * independent 64-bit streams (xxhash64 of the text and of its reverse —
+    * the Column API pins the seed, so the second stream comes from the
+    * reversed input), concatenated to the same 32-hex width as md5. */
   def exact(docs: DataFrame, hash: HashMode = Md5Portable): DataFrame = {
     val h = hash match {
       case Md5Portable => md5s(col("text")) // full 32-hex digest (pinned oracle shape)
-      case Xx64 => hashHex(col("text"), Xx64)
+      case Xx64 => concat(hashHex(col("text"), Xx64),
+        lower(lpad(hex(xxhash64(reverse(col("text")))), 16, "0")))
     }
     docs.groupBy(h.as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))

@@ -58,11 +58,16 @@ object TextOps {
           col("tf") * 2.2 /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id")).agg(round(sum(col("part")), 6).as("score"))
+    // top-k via TakeOrderedAndProject (partial per-partition top-k, merged
+    // on the driver) — the global-window form would sort the ENTIRE scored
+    // relation on one partition. Rank is then derived over the ≤k
+    // survivors; the single-partition window over k rows is the intent
+    // (and a non-empty partitionSpec, so no WindowExec global-sort warning).
     scored
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
           .orderBy(col("score").desc, col("doc_id").asc)))
-      .filter(col("rank") <= k)
       .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
   }
 

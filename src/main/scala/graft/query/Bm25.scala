@@ -41,8 +41,54 @@ object Bm25 {
     * (which span 1-2 cells at salted density) sharp other-term bounds. */
   final val WandGrid = 64
 
+  /** Adaptive bail for ALL-HOT queries: when every query term's df exceeds
+    * this fraction of the corpus, the pruning attempt is skipped entirely
+    * and the query takes the single-pass plan. Rationale: pruning a block
+    * needs some OTHER term's cell bound to be ~0 in the block's doc-range
+    * cells, i.e. some term absent from whole grid cells — but a term with
+    * df ≥ 0.15·N has ~df/64 ≥ thousands of postings per cell at hash-
+    * uniform doc ids, so every cell holds every term, every cell max equals
+    * the global max, and no bound can drop below theta (measured: the
+    * all-hot `w1 w3 the0` query skips 0.0% of blocks by nature while paying
+    * the two bound jobs). Decided driver-side from termInfos — zero extra
+    * Spark jobs. [[IndexHandle.wandStats]] ignores the bail (telemetry
+    * must measure the bound itself). */
+  final val WandAllHotFrac = 0.15
+
   case class QueryTerm(term: String, qtf: Int)
   case class TermInfo(term: String, qtf: Int, df: Long, idf: Double, gmax: Double)
+
+  /** Posting-block METADATA row — the bound jobs' shape. Never carries the
+    * varbyte payload columns: at the design point a 30%-df term's payloads
+    * are ~10^11 bytes, and the bound computation needs none of them. */
+  case class BlockMeta(shard: Int, term: String, salt: Int, block_id: Int,
+                       first_doc: Long, last_doc: Long, n_docs: Int,
+                       max_tfsat: Double)
+
+  /** The computed block-max bound: theta (lower bound on the k-th best
+    * total score) plus the per-(term, doc-range-cell) score ceilings.
+    * Broadcast once per query; [[keeps]] runs inside the block scan's
+    * filter, so non-surviving blocks are dropped BEFORE payload decode. */
+  case class WandBound(theta: Double, weights: Map[String, Double],
+                       terms: Seq[String], cellMax: Map[(String, Int), Double]) {
+    def keeps(term: String, firstDoc: Long, lastDoc: Long,
+              maxTfsat: Double): Boolean = {
+      val c0 = IndexBuild.rangeSalt(firstDoc, WandGrid)
+      val c1 = IndexBuild.rangeSalt(lastDoc, WandGrid)
+      var bound = weights(term) * maxTfsat
+      for (t <- terms if t != term) {
+        var m = 0.0
+        var c = c0
+        while (c <= c1) {
+          val v = cellMax.getOrElse((t, c), 0.0)
+          if (v > m) m = v
+          c += 1
+        }
+        bound += weights(t) * m
+      }
+      bound >= theta
+    }
+  }
 
   def idf(n: Long, df: Long): Double =
     math.log(1.0 + (n - df + 0.5) / (df + 0.5))
@@ -132,8 +178,11 @@ object Bm25 {
     /** Fresh snapshot of the same index directory: re-reads the manifest,
       * corpus scalars, params, and the postings file listing, and starts an
       * empty term-stats cache. Use after StreamingIndex appends (or another
-      * build wave) to make new segments visible. */
-    def reopen(): IndexHandle = Bm25.open(spark, dir, nTermBuckets)
+      * build wave) to make new segments visible. Serving knobs customized
+      * on THIS handle (wandCutoff) carry over — reopening refreshes the
+      * snapshot, it must not silently reset tuning. */
+    def reopen(): IndexHandle =
+      Bm25.open(spark, dir, nTermBuckets).copy(wandCutoff = wandCutoff)
 
     def tuneForPointQueries(): IndexHandle = {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -183,7 +232,7 @@ object Bm25 {
       * max_tfsat is inflated by its shard's avgdl-drift factor so WAND
       * pruning stays safe on indexes appended under an older avgdl
       * (resume waves, streaming segments). */
-    private def loadBlocks(terms: Seq[String]): Dataset[PostingBlock] = {
+    private def prunedScan(terms: Seq[String]): DataFrame = {
       val buckets = terms.map(termBucket(_, nTermBuckets)).distinct
       val fMap = map(factors.toSeq.flatMap { case (sh, f) =>
         Seq(lit(sh), lit(f))
@@ -193,11 +242,31 @@ object Bm25 {
           $"bucket".isin(buckets: _*) && $"term".isin(terms: _*))
         .withColumn("max_tfsat",
           $"max_tfsat" * coalesce(element_at(fMap, $"shard".cast("int")), lit(1.0)))
+    }
+
+    private def loadBlocks(terms: Seq[String]): Dataset[PostingBlock] =
+      prunedScan(terms)
         .select($"shard".cast("int").as("shard"), $"term", $"salt", $"block_id",
           $"first_doc", $"last_doc", $"n_docs", $"max_tf", $"max_tfsat",
           $"doc_gaps_vb", $"tfs_vb", $"dls_vb")
         .as[PostingBlock]
-    }
+
+    /** Metadata-only projection of the pruned block scan — the bound jobs'
+      * input. Column pruning reaches the Parquet reader (ReadSchema carries
+      * no `*_vb` payload column — the same trick termInfos uses), so
+      * computing bounds over a hot term's 10^4 blocks reads kilobytes of
+      * metadata, not the payload bytes the bound exists to skip. */
+    private def loadBlockMeta(terms: Seq[String]): Dataset[BlockMeta] =
+      prunedScan(terms)
+        .select($"shard".cast("int").as("shard"), $"term", $"salt", $"block_id",
+          $"first_doc", $"last_doc", $"n_docs", $"max_tfsat")
+        .as[BlockMeta]
+
+    /** Formatted physical plan of the metadata-only bound scan — plan-audit
+      * evidence (Main.wandstat prints it; PLANS.md records it). */
+    def boundPlanString(q: String): String =
+      loadBlockMeta(queryTerms(q).map(_.term)).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
     /** Decode + score + aggregate + top-k. Scoring weights enter as a
       * literal map so the whole per-posting path after decode is codegen. */
@@ -264,17 +333,34 @@ object Bm25 {
       if (nDocs < wandCutoff) return singlePassTopk(qts, k)
       val infos = termInfos(q)
       if (infos.isEmpty) return emptyResult(spark)
-      val blocks = loadBlocks(infos.map(_.term))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (survivors, _) = wandSurvivors(blocks, infos, k)
-        scoreBlocks(survivors, infos, k)
-      } finally blocks.unpersist()
+      // all-hot bail (see WandAllHotFrac): no rare term → the grid bound
+      // provably-by-measurement skips nothing; take the single-action plan
+      // with zero bound jobs instead of two wasted ones
+      if (infos.forall(_.df.toDouble > WandAllHotFrac * nDocs))
+        return scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
+      computeBound(loadBlockMeta(infos.map(_.term)), infos, k) match {
+        case None => scoreBlocks(loadBlocks(infos.map(_.term)), infos, k)
+        case Some(bd) =>
+          val bc = spark.sparkContext.broadcast(bd)
+          scoreBlocks(loadBlocks(infos.map(_.term)).filter(b =>
+            bc.value.keeps(b.term, b.first_doc, b.last_doc, b.max_tfsat)),
+            infos, k)
+      }
     }
 
     /** The block-max bound: theta (a lower bound on the k-th best score,
-      * from the most impactful term's partial scores) and the blocks whose
-      * upper bound clears it. Shared by [[topkWand]] and [[wandStats]].
+      * from the most impactful term's partial scores) and the per-cell
+      * score ceilings, packaged as a [[WandBound]] the block scan filters
+      * with. Shared by [[topkWand]] and [[wandStats]]. Returns None when no
+      * theta can form (no term has df ≥ k) — the caller then scores all
+      * blocks, which is exactly what a −inf theta would keep.
+      *
+      * Both bound jobs avoid the payload problem: cellMax aggregates the
+      * METADATA-ONLY projection ([[loadBlockMeta]] — nothing here ever
+      * materializes a hot term's ~10^11 payload bytes, let alone caches
+      * them), and theta decodes ONE term's postings from a fresh pruned
+      * scan (bucket dir + term min-max narrow that scan to the best term's
+      * own blocks).
       *
       * The other-terms bound is RANGE-AWARE: doc_id space is cut into
       * [[Bm25.WandGrid]] fixed cells, and one small aggregation over the
@@ -299,33 +385,32 @@ object Bm25 {
       * cell c (stale-avgdl inflation already applied by loadBlocks), so
       * the per-block bound still dominates every true document score in
       * the block — the topk≡topkWand identity argument is unchanged. */
-    private def wandSurvivors(blocks: Dataset[PostingBlock],
-                              infos: Seq[TermInfo],
-                              k: Int): (Dataset[PostingBlock], Double) = {
+    private def computeBound(meta: Dataset[BlockMeta], infos: Seq[TermInfo],
+                             k: Int): Option[WandBound] = {
       val eligible = infos.filter(_.df >= k)
-      if (eligible.isEmpty) return (blocks, Double.NegativeInfinity)
+      if (eligible.isEmpty) return None
       val best = eligible.maxBy(ti => ti.qtf * ti.idf * ti.gmax)
       val bw = best.qtf * best.idf
-      // theta and the cell-bound table are both small jobs over the cached
-      // blocks — submitted CONCURRENTLY (they dominate the pruning path's
-      // fixed latency; overlapping them halves it)
+      // theta and the cell-bound table are both small jobs — submitted
+      // CONCURRENTLY (they dominate the pruning path's fixed latency;
+      // overlapping them halves it)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val thetaF = Future {
-        val partials = blocks.filter($"term" === best.term)
+        val partials = loadBlocks(Seq(best.term))
           .flatMap(IndexBuild.decodeBlock _)
           .select((lit(bw) * tfSatCol($"tf", $"dl", avgdl)).as("s"))
           .orderBy(desc("s")).limit(k).as[Double].collect()
         if (partials.length < k) Double.NegativeInfinity else partials.last
       }
-      // per-(term, grid-cell) max_tfsat from block metadata. Cell
-      // arithmetic is the SAME typed rangeSalt used in the filter below
+      // per-(term, grid-cell) max_tfsat from the metadata-only scan. Cell
+      // arithmetic is the SAME typed rangeSalt used in WandBound.keeps
       // (bit-identical integer division — a SQL `/` would go through
       // double and could disagree at cell boundaries, silently
       // under-bounding).
       val cellMaxF = Future {
-        blocks
+        meta
           .flatMap { b =>
             (IndexBuild.rangeSalt(b.first_doc, Bm25.WandGrid) to
               IndexBuild.rangeSalt(b.last_doc, Bm25.WandGrid)).iterator
@@ -337,44 +422,35 @@ object Bm25 {
       }
       val theta = Await.result(thetaF, Duration.Inf)
       val cellMax = Await.result(cellMaxF, Duration.Inf)
-      if (theta == Double.NegativeInfinity) return (blocks, theta)
-      val weights = infos.map(ti => ti.term -> ti.qtf * ti.idf).toMap
-      val terms = infos.map(_.term)
-      val bcSelf = spark.sparkContext.broadcast(weights)
-      val bcCell = spark.sparkContext.broadcast(cellMax)
-      val bcTerms = spark.sparkContext.broadcast(terms)
-      (blocks.filter { b =>
-        val c0 = IndexBuild.rangeSalt(b.first_doc, Bm25.WandGrid)
-        val c1 = IndexBuild.rangeSalt(b.last_doc, Bm25.WandGrid)
-        var bound = bcSelf.value(b.term) * b.max_tfsat
-        for (t <- bcTerms.value if t != b.term) {
-          var m = 0.0
-          var c = c0
-          while (c <= c1) {
-            val v = bcCell.value.getOrElse((t, c), 0.0)
-            if (v > m) m = v
-            c += 1
-          }
-          bound += bcSelf.value(t) * m
-        }
-        bound >= theta
-      }, theta)
+      if (theta == Double.NegativeInfinity) None
+      else Some(WandBound(theta,
+        infos.map(ti => ti.term -> ti.qtf * ti.idf).toMap,
+        infos.map(_.term), cellMax))
     }
 
     /** Pruning telemetry for one query: (blocks in the pruned term scan,
       * blocks surviving the block-max bound, theta). Runs the same bound
-      * computation as [[topkWand]] (forcing the pruning path regardless of
-      * the adaptive cutoff) without scoring — the bench uses it to show
-      * skipping is actually engaged at scale. */
+      * computation as [[topkWand]] — but forcing it, regardless of the
+      * adaptive cutoff and the all-hot bail (telemetry must measure the
+      * bound itself) — without scoring; the bench uses it to show skipping
+      * is actually engaged at scale. Counts run on the metadata projection
+      * only: telemetry never touches a payload byte either. */
     def wandStats(q: String, k: Int): (Long, Long, Double) = {
       val infos = termInfos(q)
       if (infos.isEmpty) return (0L, 0L, 0.0)
-      val blocks = loadBlocks(infos.map(_.term))
+      val meta = loadBlockMeta(infos.map(_.term))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val (survivors, theta) = wandSurvivors(blocks, infos, k)
-        (blocks.count(), survivors.count(), theta)
-      } finally blocks.unpersist()
+        val total = meta.count()
+        computeBound(meta, infos, k) match {
+          case None => (total, total, Double.NegativeInfinity)
+          case Some(bd) =>
+            val bc = spark.sparkContext.broadcast(bd)
+            (total, meta.filter(m =>
+              bc.value.keeps(m.term, m.first_doc, m.last_doc, m.max_tfsat))
+              .count(), bd.theta)
+        }
+      } finally meta.unpersist()
     }
 
     /** Candidate doc metadata lookup (the reference's title-cache probe,

@@ -61,14 +61,25 @@ object StreamingIndex {
       .partitionBy("shard").parquet(s"$dir/docstats")
 
     // avgdl over everything indexed so far INCLUDING this segment — but
-    // never counting leftovers of a crashed, uncommitted segment
-    val allDoc = spark.read.parquet(s"$dir/docstats")
-      .filter($"shard".isin((committed + seg).toSeq: _*))
-    val tot = allDoc.agg(count(lit(1)), sum($"doclen")).head()
-    val avgdl = tot.getLong(1).toDouble / math.max(tot.getLong(0), 1L)
-    val segStats = allDoc.filter($"shard" === seg)
-      .agg(count(lit(1)), sum($"doclen")).head()
-    Seq(InvertedIndex.CorpusShard(seg, segStats.getLong(0), segStats.getLong(1), avgdl))
+    // never counting leftovers of a crashed, uncommitted segment. Totals
+    // come from the committed CORPUS rows (each shard's n_docs/sum_dl are
+    // exact at commit) plus this segment's own aggregate: O(shards) + O(this
+    // batch) — NEVER a scan of all docstats, which is O(total docs indexed)
+    // metadata per micro-batch (a per-batch corpus-sized read at the
+    // 10^12-doc design point).
+    val segRow = tokenized.agg(count(lit(1)), coalesce(sum($"dl"), lit(0L))).head()
+    val (segN, segDl) = (segRow.getLong(0), segRow.getLong(1))
+    val (prevN, prevDl) =
+      if (committed.isEmpty) (0L, 0L)
+      else {
+        val r = spark.read.parquet(s"$dir/corpus")
+          .filter($"shard".isin(committed.toSeq: _*))
+          .agg(coalesce(sum($"n_docs"), lit(0L)),
+            coalesce(sum($"sum_dl"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val avgdl = (prevDl + segDl).toDouble / math.max(prevN + segN, 1L)
+    Seq(InvertedIndex.CorpusShard(seg, segN, segDl, avgdl))
       .toDS().write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(s"$dir/corpus")
