@@ -17,9 +17,11 @@ import graft.query.Bm25
   * (DuckDB tokenizes the documents table independently) and q_pages_*
   * (oracles over an exported tokenized-pages parquet verify the salting,
   * block chunking, and BM25 scoring relationally); IndexSpec adds the
-  * in-repo brute-force oracle. The only remaining rows-only entry is
-  * q_multimodal (binary codec work — externally oracled against
-  * javax.imageio in MultimodalSpec instead).
+  * in-repo brute-force oracle. q_multimodal follows the same export
+  * pattern: its binary codec work is spec-verified against independent
+  * oracles (javax.imageio pixel parity, codec round-trips) and the
+  * aggregation over the exported decode rows has a DuckDB twin — no
+  * rows-only entries remain.
   */
 object SparkEntry {
 
@@ -118,7 +120,8 @@ object SparkEntry {
     //     and query variant; the md5-seeded perturbation makes the whole
     //     query-set derivation SQL-expressible → full DuckDB twin ---------
     "q_eval_hitrate" -> ((s, d) => graft.ops.Evaluate.hitRates(docs(s, d))),
-    // --- multimodal plumbing (rows-only: binary decode is a stub seam) ---
+    // --- multimodal: real PNG/WAV/AVI-DIB codecs; the query exports its
+    //     per-media decode rows and the oracle re-aggregates them ---------
     "q_multimodal" -> ((s, _) => graft.ops.Multimodal.summary(s, 2000)),
     // --- T6: early-exit limited scan (reference: index/hash_index.py:81-90
     //     brute_force_search with result_size_limit — deterministic analog:
@@ -156,8 +159,11 @@ object SparkEntry {
       val res = h.withUrls(h.topkWand(indexQueryTerms.mkString(" "), 40))
         .select(regexp_replace(col("url"), "^doc://", "").cast("long").as("doc_id"),
           round(col("score"), 6).as("score"))
+      // rank over the 40 over-fetched rows only — single-partition window
+      // over ≤40 rows is the intent (non-empty partitionSpec: no WindowExec
+      // global-sort warning)
       res.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
             .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("doc_id"), col("score"), col("rank"))
@@ -196,7 +202,7 @@ object SparkEntry {
       val res = h.withUrls(h.topkWand(pagesQueryTerms.mkString(" "), 40))
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("url"))
       res.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
             .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("doc_id"), col("score"), col("rank"), col("url"))
@@ -651,6 +657,19 @@ object SparkEntry {
          |JOIN expq e USING (query_id)
          |JOIN nq ON nq.variant = e.variant
          |GROUP BY 1, 2, 3""".stripMargin,
+    // q_multimodal: the query exports its per-media decode/feature rows
+    // (media_id, kind, width, height, valid, fsum) to a fixed parquet —
+    // the decode itself is spec-verified against independent oracles
+    // (javax.imageio pixel parity, codec round-trips); this twin verifies
+    // the aggregation relationally, exactly like the q_pages_* pattern.
+    "q_multimodal" ->
+      s"""SELECT kind, count(*) AS n,
+         |       sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+         |       round(avg(width), 6) AS avg_w,
+         |       round(avg(height), 6) AS avg_h,
+         |       round(avg(fsum), 6) AS avg_fsum
+         |FROM read_parquet('${graft.ops.Multimodal.ExportDir}/*.parquet')
+         |GROUP BY 1""".stripMargin,
     "q_events_window" ->
       """SELECT event_type, (floor(epoch(ts) / 300))::BIGINT AS bucket,
         |       count(*) AS n, round(sum(value), 6) AS sum_value

@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   * format bytes and malformed-input paths are testable by corruption.
   *
   * Video rows are REAL AVI files (RIFF container: hdrl LIST with avih main
-  * header + strl stream header for an MJPG 'vids' stream, movi LIST with
-  * one '00dc' chunk per frame, word-aligned) — the demux ([[decodeAvi]])
-  * walks genuine format bytes exactly like the WAV path walks RIFF/WAVE.
-  * STUB BOUNDARY, narrowed to the codec only: the per-frame payloads are
-  * NOT pixel-decoded (this container ships no MJPEG codec); a real codec
-  * call slots in where decodeAvi returns the raw frame chunks. Everything
-  * else (container parse, schema, partitioning, batch shape, null handling)
-  * is as real as the PNG/WAV paths.
+  * header + strl stream header for an uncompressed-DIB 'vids' stream, movi
+  * LIST with one '00db' chunk per frame, word-aligned) — the demux
+  * ([[decodeAvi]]) walks genuine format bytes exactly like the WAV path
+  * walks RIFF/WAVE, and the per-frame payloads are REAL BI_RGB
+  * device-independent bitmaps (24-bit BGR, bottom-up rows padded to 4
+  * bytes) pixel-decoded by [[decodeDib]] — so video features and frame
+  * sampling run on actual pixels end-to-end, like the PNG path.
   */
 object Multimodal {
 
@@ -191,7 +190,7 @@ object Multimodal {
 
   // ---------------------------------------------------------------------
   // AVI encode (generator) + demux — RIFF 'AVI ', avih/strl headers, movi
-  // '00dc' frame chunks. Frame payloads stay codec-opaque (stub boundary).
+  // '00db' uncompressed-DIB frame chunks — plus the DIB pixel codec.
   // ---------------------------------------------------------------------
 
   private def fourcc(s: String) = s.getBytes(StandardCharsets.US_ASCII)
@@ -204,26 +203,77 @@ object Multimodal {
   private def riffList(subtype: String, body: Array[Byte]): Array[Byte] =
     riffChunk("LIST", fourcc(subtype) ++ body)
 
-  /** Minimal real AVI: one MJPG-fourcc 'vids' stream, one '00dc' chunk per
-    * frame. Headers are genuine (avih 56-byte main header, strh/strf stream
-    * pair); frame payloads are opaque bytes (no codec — see stub note). */
+  /** BI_RGB DIB row stride: 3 bytes/pixel, each row padded to 4 bytes. */
+  private def dibStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Pack one grayscale frame (width·height bytes, top-down) into a real
+    * uncompressed 24-bit BI_RGB DIB: BGR triples with B=G=R=gray, rows
+    * stored BOTTOM-UP, each row padded to a 4-byte boundary — the exact
+    * payload layout of an AVI '00db' chunk. */
+  def encodeDib(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height)
+    val stride = dibStride(width)
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val row = (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val g = gray(y * width + x)
+        out(row + x * 3) = g; out(row + x * 3 + 1) = g; out(row + x * 3 + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode one 24-bit BI_RGB bottom-up DIB payload back to top-down
+    * grayscale pixels ((B+G+R)/3 per pixel — exact for the generator's
+    * gray frames), or None when the payload doesn't match the stream
+    * header's dimensions. */
+  def decodeDib(width: Int, height: Int, dib: Array[Byte]): Option[Array[Byte]] = {
+    val stride = dibStride(width)
+    if (width <= 0 || height <= 0 || dib == null ||
+      dib.length != stride * height) return None
+    val out = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      val row = (height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        out(y * width + x) = (((dib(row + x * 3) & 0xFF) +
+          (dib(row + x * 3 + 1) & 0xFF) + (dib(row + x * 3 + 2) & 0xFF)) / 3).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Minimal real AVI: one uncompressed-DIB 'vids' stream, one '00db'
+    * chunk per frame. Headers are genuine (avih 56-byte main header,
+    * strh/strf stream pair with biCompression = BI_RGB); `frames` are
+    * GRAYSCALE PIXEL arrays (width·height each), packed to real DIB
+    * payloads by [[encodeDib]]. */
   def encodeAvi(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
-    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val dibs = frames.map(encodeDib(width, height, _))
+    val maxFrame = if (dibs.isEmpty) 0 else dibs.map(_.length).max
     val avih = le32(33333) ++ le32(maxFrame * 30) ++ le32(0) ++ le32(0) ++
       le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
       le32(width) ++ le32(height) ++ new Array[Byte](16)
-    val strh = fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+    val strh = fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(frames.length) ++
       le32(maxFrame) ++ le32(-1) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(width) ++ le16(height) // rcFrame
     val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
-      fourcc("MJPG") ++ le32(width * height * 3) ++ le32(0) ++ le32(0) ++
-      le32(0) ++ le32(0)
+      le32(0) /* BI_RGB */ ++ le32(dibStride(width) * height) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
     val hdrl = riffList("hdrl",
       riffChunk("avih", avih) ++
         riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
     val movi = riffList("movi",
-      frames.flatMap(f => riffChunk("00dc", f)))
+      dibs.flatMap(f => riffChunk("00db", f)))
     val body = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
@@ -232,7 +282,8 @@ object Multimodal {
     * Walks the RIFF tree, reads avih for dimensions/frame count, collects
     * the movi LIST's '..dc'/'..db' chunks, and cross-checks the header's
     * TotalFrames against the chunks actually present. Frame payloads are
-    * returned UNDECODED — the codec is the one declared stub seam. */
+    * the raw chunk bytes (DIBs for the generator's streams) — use
+    * [[decodeAviPixels]] for the pixel-decoded form. */
   def decodeAvi(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
     try {
       def tag(o: Int) = new String(b, o, 4, StandardCharsets.US_ASCII)
@@ -268,6 +319,15 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Demux + pixel-decode: (width, height, top-down grayscale frames) —
+    * every '00db' DIB payload must decode against the header dimensions,
+    * or the whole file is malformed (None). */
+  def decodeAviPixels(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
+    decodeAvi(b).flatMap { case (w, h, chunks) =>
+      val px = chunks.map(decodeDib(w, h, _))
+      if (px.exists(_.isEmpty)) None else Some((w, h, px.map(_.get)))
+    }
+
   // ---------------------------------------------------------------------
   // Synthetic corpus + decode dispatch
   // ---------------------------------------------------------------------
@@ -296,11 +356,11 @@ object Multimodal {
           val rate = 8000 * (1 + Math.floorMod(h >>> 8, 5L).toInt)
           val ch = 1 + Math.floorMod(h >>> 16, 2L).toInt
           encodeWav(rate, ch, payload(ch * (64 + Math.floorMod(h >>> 32, 192L).toInt)))
-        case _ => // video: real AVI container (frame payloads codec-opaque)
+        case _ => // video: real AVI container with real DIB pixel frames
           val w = 16 + Math.floorMod(h >>> 8, 64L).toInt
           val hgt = 16 + Math.floorMod(h >>> 16, 64L).toInt
           val nFrames = 1 + Math.floorMod(h >>> 24, 8L).toInt
-          val fs = 64 + Math.floorMod(h >>> 32, 192L).toInt
+          val fs = w * hgt // one grayscale frame
           val p = payload(nFrames * fs)
           encodeAvi(w, hgt,
             Array.tabulate(nFrames)(f =>
@@ -323,7 +383,7 @@ object Multimodal {
           MediaMeta(id, kind, rate, ch, samples.length / ch, samples.length, valid = true)
         case None => MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
       }
-      case _ => decodeAvi(blob) match {
+      case _ => decodeAviPixels(blob) match {
         case Some((w, h, frames)) =>
           MediaMeta(id, kind, w, h, frames.length,
             frames.map(_.length).sum, valid = true)
@@ -333,11 +393,11 @@ object Multimodal {
   }
 
   /** Decoded payload (pixels / PCM samples / concatenated video frame
-    * chunks), empty if malformed. */
+    * pixels), empty if malformed. */
   private def payloadOf(kind: String, blob: Array[Byte]): Array[Byte] = kind match {
     case "image" => decodePng(blob).map(_._3).getOrElse(Array.empty)
     case "audio" => decodeWav(blob).map(_._3).getOrElse(Array.empty)
-    case _ => decodeAvi(blob).map(_._3.flatten).getOrElse(Array.empty)
+    case _ => decodeAviPixels(blob).map(_._3.flatten).getOrElse(Array.empty)
   }
 
   /** Batched decode: one pass per partition, decoder state reusable. */
@@ -368,8 +428,8 @@ object Multimodal {
 
   /** Frame sampling: emit every `stride`-th frame — the flatMap (generator)
     * shape of video frame extraction. Images are 1-frame (the whole pixel
-    * payload); video frames are the AVI's actual '00dc' chunks (demuxed,
-    * codec-opaque); audio "frames" are per-channel planes, de-interleaved
+    * payload); video frames are the AVI's '00db' DIB chunks pixel-decoded
+    * to grayscale; audio "frames" are per-channel planes, de-interleaved
     * from the PCM stream (sample i of channel c sits at index i·ch + c, as
     * encodeWav writes it). */
   def sampleFrames(media: Dataset[Media], stride: Int = 2): Dataset[Frame] = {
@@ -388,7 +448,7 @@ object Multimodal {
             Frame(m.media_id, c, plane)
           }
         case "video" =>
-          decodeAvi(m.blob) match {
+          decodeAviPixels(m.blob) match {
             case Some((_, _, frames)) =>
               (0 until frames.length by stride).iterator
                 .map(f => Frame(m.media_id, f, frames(f)))
@@ -402,8 +462,19 @@ object Multimodal {
     }
   }
 
-  /** Roll-up used as a rows-only SparkEntry query: per-kind decode summary +
-    * mean feature vector (exercises decode + features + agg end-to-end). */
+  /** Fixed parquet export of the per-media decode/feature rows — the
+    * DuckDB oracle's input (the same export pattern as the q_pages_*
+    * tokenized-pages parquet). Literal /tmp path (not java.io.tmpdir,
+    * which Bench redirects) because the oracle SQL carries it. */
+  val ExportDir = "/tmp/graft_media_export_v1"
+
+  /** Per-kind decode summary + mean feature mass (the q_multimodal query —
+    * exercises decode + features + agg end-to-end). The per-media
+    * intermediate (media_id, kind, width, height, valid, fsum) is written
+    * to [[ExportDir]] first and the roll-up computed FROM the export: the
+    * binary codec work stays spec-verified (pixel parity vs javax.imageio,
+    * DIB/WAV round-trips), while the aggregation gets a driver-verified
+    * DuckDB twin over the exported rows. */
   def summary(spark: SparkSession, n: Long = 2000, seed: Long = 42L): DataFrame = {
     val media = synthMedia(spark, n, seed)
     val meta = decode(media).toDF()
@@ -411,6 +482,10 @@ object Multimodal {
       .select(col("media_id"), explode(col("features")).as("f"))
       .groupBy(col("media_id")).agg(round(sum(col("f")), 6).as("fsum"))
     meta.join(feat, "media_id")
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("valid"), col("fsum"))
+      .coalesce(1).write.mode("overwrite").parquet(ExportDir)
+    spark.read.parquet(ExportDir)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("valid"), 1).otherwise(0)).as("n_valid"),

@@ -134,17 +134,21 @@ class MultimodalSpec extends SparkSpec {
       .filter(_.kind == "image").foreach(m => assertParity(m.blob))
   }
 
-  test("AVI round-trip: encode → demux recovers dimensions and exact frame " +
-    "chunks; corruption and header/chunk mismatch fail") {
+  test("AVI round-trip: encode → demux → DIB pixel decode recovers exact " +
+    "frame pixels; corruption and header/chunk mismatch fail") {
     val rnd = new scala.util.Random(13)
     for (_ <- 1 to 10) {
       val w = 16 + rnd.nextInt(64); val h = 16 + rnd.nextInt(64)
       val frames = Array.fill(1 + rnd.nextInt(8))(
-        Array.fill[Byte](50 + rnd.nextInt(200))(rnd.nextInt(256).toByte))
+        Array.fill[Byte](w * h)(rnd.nextInt(256).toByte))
       val avi = Multimodal.encodeAvi(w, h, frames)
-      val Some((dw, dh, dframes)) = Multimodal.decodeAvi(avi)
+      // pixel parity end-to-end through the container
+      val Some((dw, dh, dframes)) = Multimodal.decodeAviPixels(avi)
       assert(dw == w && dh == h && dframes.length == frames.length)
       frames.zip(dframes).foreach { case (a, b) => assert(a.sameElements(b)) }
+      // the raw demuxed chunks are genuine padded 24-bit BI_RGB DIBs
+      val Some((_, _, chunks)) = Multimodal.decodeAvi(avi)
+      assert(chunks.forall(_.length == ((w * 3 + 3) & ~3) * h))
       // truncation and signature damage must fail cleanly
       assert(Multimodal.decodeAvi(avi.take(avi.length / 2)).isEmpty)
       val bad = avi.clone(); bad(8) = 'X'
@@ -152,11 +156,17 @@ class MultimodalSpec extends SparkSpec {
     }
     // a frame-count lie in avih (header says 3, movi carries 2) is rejected
     val lying = Multimodal.encodeAvi(20, 20,
-      Array.fill(3)(Array.fill[Byte](60)(1)))
+      Array.fill(3)(Array.fill[Byte](400)(1)))
     // avih TotalFrames sits at hdrl-body offset: find 'avih' tag, +8+16
     val idx = lying.indexOfSlice("avih".getBytes)
     lying(idx + 8 + 16) = 2
     assert(Multimodal.decodeAvi(lying).isEmpty)
+    // DIB codec edges: size mismatch vs header dims is malformed; the
+    // round-trip is exact
+    assert(Multimodal.decodeDib(20, 20, new Array[Byte](100)).isEmpty)
+    val gray = Array.tabulate[Byte](20 * 20)(i => (i * 3).toByte)
+    assert(Multimodal.decodeDib(20, 20,
+      Multimodal.encodeDib(20, 20, gray)).get.sameElements(gray))
   }
 
   test("decode parses every synthetic blob; malformed blobs degrade to valid=false") {
