@@ -99,6 +99,33 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  // ---- host-calibration probe -----------------------------------------
+  // The sandbox host intermittently collapses under invisible neighbors
+  // (BENCH_r03: local[8] measured SLOWER than local[2] on identical code
+  // that scales 0.93 in a clean window). Every cumulative JSON line
+  // therefore carries a pure-JVM probe: the absolute 1-thread time of a
+  // fixed workload plus the 8-thread scaling of that same workload — a
+  // contaminated run is self-evident from the artifact alone (probe_t1
+  // far above its own minimum, scale8 far below 8), with no Spark, no I/O,
+  // no allocation in the measured loop.
+  @volatile private var probeSink = 0L
+  private def spin(units: Long): Unit = {
+    var s = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < units) { s = graft.data.Synth.mix64(s); i += 1 }
+    probeSink ^= s // defeat dead-code elimination
+  }
+  private val ProbeUnits = 50000000L // ~0.25 s single-thread on a clean core
+  /** (1-thread sec for ProbeUnits, scale8 = 8·t1/t8 where t8 runs 8×
+    * ProbeUnits on 8 threads — ideal ≈ 8 on an idle box, → 1 as effective
+    * cores vanish). */
+  private def hostProbe(): (Double, Double) = {
+    val (_, t1) = time(spin(ProbeUnits))
+    val threads = Array.fill(8)(new Thread(() => spin(ProbeUnits)))
+    val (_, t8) = time { threads.foreach(_.start()); threads.foreach(_.join()) }
+    (t1, 8.0 * t1 / math.max(t8, 1e-9))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // route every tmp consumer (SparkEntry index dirs, streaming checkpoints)
@@ -113,7 +140,26 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    val benchStart = System.nanoTime()
+    def benchSpent = (System.nanoTime() - benchStart) / 1e9
+    val benchBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+    results += "bench_epoch_start" -> (System.currentTimeMillis() / 1000L).toDouble
+
+    var probeT1Min = Double.MaxValue
+    var probeScale8Max = 0.0
     def emit(): Unit = {
+      // fresh host probe on EVERY line: min(t1)/max(scale8) across the run
+      // are the host's clean capability; the current values say whether the
+      // numbers just printed were measured in a clean or a collapsed window
+      val (t1, scale8) = hostProbe()
+      probeT1Min = math.min(probeT1Min, t1)
+      probeScale8Max = math.max(probeScale8Max, scale8)
+      results += "host_probe_t1_sec" -> round3(t1)
+      results += "host_probe_scale8" -> round3(scale8)
+      results += "host_probe_t1_min" -> round3(probeT1Min)
+      results += "host_probe_scale8_max" -> round3(probeScale8Max)
+      results += "emitted_at_sec" -> round3(benchSpent)
       val total = results.collect {
         case (k, v) if k.startsWith("q_") && v >= 0 => v
       }.sum
@@ -162,9 +208,11 @@ object Bench {
     val tLow = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runRep(rep: Int): Unit = {
+      results += s"build_p${CoresLow}_rep${rep}_at" -> round3(benchSpent)
       tLow += timedBuild(CoresLow, warm = rep == 0)
       results += s"build_p${CoresLow}_rep$rep" -> round3(tLow.last)
       emit()
+      results += s"build_p${CoresHigh}_rep${rep}_at" -> round3(benchSpent)
       tHigh += timedBuild(CoresHigh, warm = rep == 0)
       results += s"build_p${CoresHigh}_rep$rep" -> round3(tHigh.last)
       System.err.println(s"[bench] rep $rep: t$CoresLow=${tLow.last} t$CoresHigh=${tHigh.last}")
@@ -178,14 +226,49 @@ object Bench {
       emit()
     }
     // One full rep FIRST — a complete N/4N pair exists before anything
-    // optional runs, so even a truncated bench window yields the scaling
-    // evidence. Extra noise-reduction reps run at the END under a
-    // wall-clock budget (a noisy-host rep can take 3-5× nominal).
-    val benchStart = System.nanoTime()
-    def benchSpent = (System.nanoTime() - benchStart) / 1e9
-    val benchBudget =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+    // else runs — then ALL extra alternating reps IMMEDIATELY: the
+    // per-level minima are the noise estimator's whole defense against a
+    // contaminated window, so they are the cheapest, most important rows
+    // and must never queue behind optional instrumentation (BENCH_r03's
+    // failure mode: the official efficiency rested on a single rep-0 pair
+    // measured on a collapsed host while 345 s of optional hash timing ran
+    // first). The only thing allowed to displace reps is a host so slow
+    // that rep 0 alone ate half the budget — and then the probe keys in
+    // the same artifact prove the cause.
     runRep(0)
+    for (rep <- 1 until Reps) {
+      if (benchSpent < 0.5 * benchBudget) runRep(rep)
+      else if (!results.contains("reps_truncated_at_sec")) {
+        results += "reps_truncated_at_sec" -> round3(benchSpent)
+        emit()
+      }
+    }
+
+    // ---- (8,32) idle-box datapoint ---------------------------------------
+    // The headline pair is (2,8) because invisible neighbors can shrink the
+    // effective-core envelope below 32 (see the class doc); when the box
+    // cooperates, an (8,32) pair is the stronger statement — recorded
+    // best-effort BEFORE the operator suite so a late budget expiry can't
+    // starve it again (it never ran in the r2/r3 driver windows).
+    if (CoresLow == 2) {
+      if (benchSpent < 0.65 * benchBudget) {
+        try {
+          results += "build_p8_extra_at" -> round3(benchSpent)
+          val t8 = timedBuild(8, warm = true)
+          results += "build_p8_extra" -> round3(t8)
+          emit()
+          results += "build_p32_extra_at" -> round3(benchSpent)
+          val t32 = timedBuild(32, warm = true)
+          results += "build_p32_extra" -> round3(t32)
+          results += "scaling_efficiency_8_32" ->
+            round3((BenchDocs / t32) / (BenchDocs / t8) / 4.0)
+        } catch {
+          case e: Throwable =>
+            errors += "scaling_8_32" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+      } else results += "scaling_8_32_skipped_at_sec" -> round3(benchSpent)
+      emit()
+    }
 
     // ---- phase 3: query latency + operator suite on the bench session ---
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", CoresHigh.toString).toInt
@@ -219,59 +302,22 @@ object Bench {
       }
       results += name -> round3(sec)
     }
-    // production-hash datapoint: md5-portable (the oracle shape) vs the
-    // xxhash64 production path. Measured over 100k bench pages (~10M token
-    // hashes × 8 seeds) — the tiny sf documents table is overhead-dominated
-    // and can't separate the hash costs.
-    try {
-      import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
-      // 1/3 hash-sample (~100k pages), NOT .limit(): GlobalLimit coalesces
-      // to one partition and would run the narrow op single-threaded
-      val hashDocs = s.read.parquet(pagesPath)
-        .filter(pmod(xxhash64(col("url")), lit(3)) === 0)
-        .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
-          col("text"))
-      results += "minhash_md5_sec" ->
-        round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
-      results += "minhash_xx64_sec" ->
-        round3(time(graft.ops.Dedup.minhash(hashDocs,
-          hash = graft.ops.Dedup.Xx64).count())._2)
-    } catch {
-      case e: Throwable =>
-        errors += "minhash_hash_modes" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-    }
     s.stop()
     emit()
 
-    // ---- phase 3b: (8,32) scaling datapoint -----------------------------
-    // The headline pair is (2,8) because invisible neighbors can shrink the
-    // effective-core envelope below 32 (see the class doc); when the box
-    // cooperates, an (8,32) pair is the stronger statement — record one
-    // best-effort rep of it alongside.
-    if (CoresLow == 2 && benchSpent < benchBudget) {
-      try {
-        val t8 = timedBuild(8, warm = true)
-        results += "build_p8_extra" -> round3(t8)
-        emit()
-        val t32 = timedBuild(32, warm = true)
-        results += "build_p32_extra" -> round3(t32)
-        results += "scaling_efficiency_8_32" ->
-          round3((BenchDocs / t32) / (BenchDocs / t8) / 4.0)
-      } catch {
-        case e: Throwable =>
-          errors += "scaling_8_32" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-      }
-      emit()
-    }
-
-    // ---- phase 3c: block-max WAND above the adaptive cutoff -------------
+    // ---- WAND phase: block-max pruning above the adaptive cutoff --------
     // Every suite/index query so far sits below wandCutoff (2M docs), so
     // production traffic always took the exhaustive single-pass plan. This
     // phase builds an index ABOVE the cutoff and measures the pruning path
     // against the exhaustive one on the reference query set, plus how many
     // blocks the bound actually skips.
     val wandDocs = sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "2200000").toLong
+    if (wandDocs > 0 && benchSpent >= benchBudget) {
+      results += "wand_phase_skipped_at_sec" -> round3(benchSpent)
+      emit()
+    }
     if (wandDocs > 0 && benchSpent < benchBudget) {
+      results += "wand_phase_at" -> round3(benchSpent)
       val s2 = session(CoresHigh)
       // the ONE build shuffle must be partitioned ∝ data, exactly as on a
       // real cluster: at 2.2M docs (~230M postings) the suite's 2×cores=16
@@ -326,10 +372,17 @@ object Bench {
           (math.min(w1, w2), math.min(e1, e2))
         }.unzip
         // result identity at scale (the IndexSpec identity, here above the
-        // cutoff with pruning live): any divergence is a bench failure
+        // cutoff with pruning live): any divergence is a bench failure.
+        // Scores are compared ROUNDED to 6 dp (the same bit-stable
+        // reshaping the oracles use): the two plans accumulate per-doc sums
+        // in different orders, so raw-Double equality could fail on a
+        // last-ulp non-associativity difference that is not a real bug.
+        def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+          df.collect().toSeq.map(r =>
+            (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
         for (q <- WandQueries) {
-          val a = h.topkWand(q, 10).collect().map(_.toString).toSeq
-          val b = h.topk(q, 10).collect().map(_.toString).toSeq
+          val a = canon(h.topkWand(q, 10))
+          val b = canon(h.topk(q, 10))
           if (a != b) sys.error(s"WAND != exhaustive at scale for '$q'")
         }
         results += "wand_query_avg_sec" -> round3(wandTs.sum / wandTs.length)
@@ -343,8 +396,41 @@ object Bench {
       emit()
     }
 
-    // ---- phase 4: extra alternating reps to tighten the minima ----------
-    for (rep <- 1 until Reps if benchSpent < benchBudget) runRep(rep)
+    // ---- LAST, optional: production-hash instrumentation ----------------
+    // md5-portable (the oracle shape) vs the xxhash64 production path over
+    // 100k bench pages (~10M token hashes × 8 seeds) — the tiny sf
+    // documents table is overhead-dominated and can't separate the hash
+    // costs. Strictly budget-gated and strictly after every scaling/WAND
+    // phase: this is the 345 s that starved BENCH_r03's scaling reps.
+    if (benchSpent >= benchBudget)
+      results += "hash_phase_skipped_at_sec" -> round3(benchSpent)
+    else {
+      results += "hash_phase_at" -> round3(benchSpent)
+      val s3 = session(CoresHigh)
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        // 1/3 hash-sample (~100k pages), NOT .limit(): GlobalLimit coalesces
+        // to one partition and would run the narrow op single-threaded
+        val hashDocs = s3.read.parquet(pagesPath)
+          .filter(pmod(xxhash64(col("url")), lit(3)) === 0)
+          .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+            col("text"))
+        // untimed warm pass PER MODE (as the hashbench CLI does): without
+        // it the first-timed mode also pays the cold parquet scan + its
+        // codegen/JIT warm-up, biasing the md5/xx64 ratio
+        graft.ops.Dedup.minhash(hashDocs).count()
+        graft.ops.Dedup.minhash(hashDocs, hash = graft.ops.Dedup.Xx64).count()
+        results += "minhash_md5_sec" ->
+          round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
+        results += "minhash_xx64_sec" ->
+          round3(time(graft.ops.Dedup.minhash(hashDocs,
+            hash = graft.ops.Dedup.Xx64).count())._2)
+      } catch {
+        case e: Throwable =>
+          errors += "minhash_hash_modes" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      } finally s3.stop()
+    }
+    emit()
 
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")
@@ -359,7 +445,13 @@ object Bench {
                            total: Double, sfDir: String): Unit = {
     try {
       val md = new StringBuilder
-      md ++= "# BENCH — measured (graft.Bench)\n\n"
+      md ++= "# BENCH (generated by graft.Bench — the authored analysis is BENCH.md)\n\n"
+      for (t1 <- r.get("host_probe_t1_sec"); s8 <- r.get("host_probe_scale8");
+           t1m <- r.get("host_probe_t1_min"); s8m <- r.get("host_probe_scale8_max"))
+        md ++= s"Host probe at last emit: 1-thread fixed workload $t1 s " +
+          s"(run min $t1m), 8-thread scaling $s8 of 8 (run max $s8m) — if the\n" +
+          "current values are far off the run's best, the rows above them were\n" +
+          "measured in a collapsed host window, not by the engine.\n\n"
       md ++= s"Input: ${BenchDocs} synthetic pages (seed 42) for the index build; "
       md ++= s"`$sfDir` for the operator suite.\n\n"
       md ++= s"N→4N scaling pair: local[$CoresLow] vs local[$CoresHigh], alternating $Reps reps,\n"
@@ -432,7 +524,9 @@ object Bench {
         md ++= "\nFailures:\n\n| query | error |\n|---|---|\n"
         errors.foreach { case (k, v) => md ++= s"| $k | $v |\n" }
       }
-      Files.writeString(Paths.get("BENCH.md"), md.toString)
+      // NEVER BENCH.md: that file is the authored cross-run analysis (a
+      // driver run once clobbered it with this generated table)
+      Files.writeString(Paths.get("BENCH_generated.md"), md.toString)
     } catch { case _: Throwable => () }
   }
 }
