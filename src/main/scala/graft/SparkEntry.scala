@@ -160,10 +160,12 @@ object SparkEntry {
         .select(regexp_replace(col("url"), "^doc://", "").cast("long").as("doc_id"),
           round(col("score"), 6).as("score"))
       // rank over the 40 over-fetched rows only — single-partition window
-      // over ≤40 rows is the intent (non-empty partitionSpec: no WindowExec
-      // global-sort warning)
+      // over ≤40 rows is the intent. Non-foldable constant partition key
+      // (a literal is stripped by EliminateWindowPartitions, re-emptying
+      // the partitionSpec and bringing back the global-sort warning).
       res.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("doc_id"), lit(1)))
             .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("doc_id"), col("score"), col("rank"))
@@ -202,7 +204,8 @@ object SparkEntry {
       val res = h.withUrls(h.topkWand(pagesQueryTerms.mkString(" "), 40))
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("url"))
       res.withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("doc_id"), lit(1)))
             .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("doc_id"), col("score"), col("rank"), col("url"))

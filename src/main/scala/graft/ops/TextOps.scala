@@ -61,12 +61,15 @@ object TextOps {
     // top-k via TakeOrderedAndProject (partial per-partition top-k, merged
     // on the driver) — the global-window form would sort the ENTIRE scored
     // relation on one partition. Rank is then derived over the ≤k
-    // survivors; the single-partition window over k rows is the intent
-    // (and a non-empty partitionSpec, so no WindowExec global-sort warning).
+    // survivors; the single-partition window over k rows is the intent.
+    // The partition key must be a NON-FOLDABLE constant (pmod(id, 1) = 0
+    // per row): a literal is stripped by EliminateWindowPartitions, which
+    // re-empties the partitionSpec and brings back the global-sort warning.
     scored
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("doc_id"), lit(1)))
           .orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
   }
