@@ -96,8 +96,12 @@ object StreamingIndex {
       .partitionBy("shard", "bucket")
       .parquet(s"$dir/postings")
 
-    val stats = postings.agg(sum($"n_docs"), count(lit(1)),
-      sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb"))).head()
+    // coalesce: an empty segment (all docs in the batch tokenize to
+    // nothing) must commit a zero-row manifest marker, not NPE on the
+    // NULL sums of an empty aggregation
+    val stats = postings.agg(coalesce(sum($"n_docs"), lit(0L)), count(lit(1)),
+      coalesce(sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb")),
+        lit(0L))).head()
     postings.unpersist(); tokenized.unpersist()
     Seq(ManifestRow(seg, stats.getLong(0), stats.getLong(1), stats.getLong(2),
         committed = true,

@@ -60,6 +60,18 @@ class StreamingIndexSpec extends SparkSpec {
     val before = spark.read.parquet(s"$idxDir/manifest").count()
     StreamingIndex.appendSegment(spark, wave1.toSeq.toDS(), idxDir, 0L, p)
     assert(spark.read.parquet(s"$idxDir/manifest").count() == before)
+
+    // an EMPTY micro-batch (all-empty docs tokenize to nothing) commits a
+    // zero-row segment without disturbing corpus stats or results: avgdl is
+    // derived from committed corpus rows + the segment's own aggregate, and
+    // an empty aggregate must not zero or NaN it
+    val empty = Seq(graft.data.Page("e://1", new java.sql.Timestamp(0L),
+      Array.empty[Byte], "", "en")).toDS()
+    StreamingIndex.appendSegment(spark, empty, idxDir, 7L, p)
+    val h2 = Bm25.open(spark, idxDir)
+    assert(h2.nDocs == all.length && math.abs(h2.avgdl - hb.avgdl) < 1e-9)
+    assert(h2.topk("w1 w3 the0", 10).as[(Long, Double)].collect().toSeq ==
+      hb.topk("w1 w3 the0", 10).as[(Long, Double)].collect().toSeq)
   }
 
   test("append with mismatched nTermBuckets adopts the persisted layout " +
