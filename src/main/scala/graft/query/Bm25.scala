@@ -364,8 +364,8 @@ object Bm25 {
       *
       * The other-terms bound is RANGE-AWARE: doc_id space is cut into
       * [[Bm25.WandGrid]] fixed cells, and one small aggregation over the
-      * (already cached) block METADATA yields each term's max saturated
-      * score per cell it has postings in. Because range salting makes
+      * block METADATA yields each term's max saturated score per cell it
+      * has postings in. Because range salting makes
       * blocks doc-range disjoint, a block's upper bound adds, for every
       * other term, only that term's max over the CELLS THE BLOCK SPANS —
       * zero where the term has no postings. This is what makes block-max
@@ -382,9 +382,10 @@ object Bm25 {
       * than k — those scans are tiny anyway).
       *
       * Safety: cellMax(t', c) ≥ tfsat of every posting of t' in any doc of
-      * cell c (stale-avgdl inflation already applied by loadBlocks), so
-      * the per-block bound still dominates every true document score in
-      * the block — the topk≡topkWand identity argument is unchanged. */
+      * cell c (stale-avgdl inflation applied by the shared pruned scan
+      * under both projections), so the per-block bound still dominates
+      * every true document score in the block — the topk≡topkWand
+      * identity argument is unchanged. */
     private def computeBound(meta: Dataset[BlockMeta], infos: Seq[TermInfo],
                              k: Int): Option[WandBound] = {
       val eligible = infos.filter(_.df >= k)
