@@ -495,9 +495,14 @@ object Bench {
         // it the first-timed mode also pays the cold parquet scan + its
         // codegen/JIT warm-up, biasing the md5/xx64 ratio
         graft.ops.Dedup.minhash(hashDocs).count()
+        graft.ops.Dedup.minhashColumnar(hashDocs, hash = graft.ops.Dedup.Xx64).count()
         graft.ops.Dedup.minhash(hashDocs, hash = graft.ops.Dedup.Xx64).count()
         results += "minhash_md5_sec" ->
           round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
+        results += "minhash_xx64_columnar_sec" ->
+          round3(time(graft.ops.Dedup.minhashColumnar(hashDocs,
+            hash = graft.ops.Dedup.Xx64).count())._2)
+        // the production route (minhash(Xx64) = the typed fast path)
         results += "minhash_xx64_sec" ->
           round3(time(graft.ops.Dedup.minhash(hashDocs,
             hash = graft.ops.Dedup.Xx64).count())._2)

@@ -50,10 +50,13 @@ object Main {
           col("text"))
       docs.write.mode("overwrite").parquet("/tmp/graft_hashbench")
       val d = spark.read.parquet("/tmp/graft_hashbench")
-      for (tag <- Seq("warm", "timed"); (name, h) <- Seq(
-        "md5" -> graft.ops.Dedup.Md5Portable, "xx64" -> graft.ops.Dedup.Xx64)) {
+      val modes: Seq[(String, () => Long)] = Seq(
+        "md5" -> (() => graft.ops.Dedup.minhash(d).count()),
+        "x64c" -> (() => graft.ops.Dedup.minhashColumnar(d, hash = graft.ops.Dedup.Xx64).count()),
+        "xx64" -> (() => graft.ops.Dedup.minhash(d, hash = graft.ops.Dedup.Xx64).count()))
+      for (tag <- Seq("warm", "timed"); (name, f) <- modes) {
         val t0 = System.nanoTime()
-        val c = graft.ops.Dedup.minhash(d, hash = h).count()
+        val c = f()
         println(f"[hashbench] $tag $name%4s rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     case "wandstat" :: dir :: k :: qw if qw.nonEmpty =>

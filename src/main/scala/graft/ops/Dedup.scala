@@ -79,7 +79,18 @@ object Dedup {
     * the hash cost. This shape is map-only — at 10^12 docs the operator
     * costs exactly one pass over the corpus. */
   def minhash(docs: DataFrame, nSeeds: Int = 8,
-              hash: HashMode = Md5Portable): DataFrame = {
+              hash: HashMode = Md5Portable): DataFrame = hash match {
+    case Md5Portable => minhashColumnar(docs, nSeeds, hash)
+    // the typed fast path IS the production xx64 route (byte-identical to
+    // the columnar form — parity-tested; measured 15× faster, see
+    // minhashFast)
+    case Xx64 => minhashFast(docs, nSeeds)
+  }
+
+  /** The Column-function form of [[minhash]] — the md5 oracle shape, and
+    * the parity reference the fast path is tested against. */
+  private[graft] def minhashColumnar(docs: DataFrame, nSeeds: Int = 8,
+                                     hash: HashMode = Md5Portable): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val minima = (0 until nSeeds).map { sd =>
       array_min(transform(col("toks"),
@@ -90,6 +101,65 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(minima: _*)))
       .select(col("doc_id"), col("pos").cast("long").as("seed"),
         col("col").as("minhash"))
+  }
+
+  /** Production fast path for [[minhash]] in [[Xx64]] mode — byte-identical
+    * output (property-tested in SearchOpsSpec), one typed pass.
+    *
+    * Why it exists: with both modes warmed, the bench measured the Column
+    * forms at parity (~12 s / 100k pages) — the per-token hash is NOT the
+    * bottleneck; the `transform`-array machinery is, because it renders a
+    * 16-char hex string per (token × seed) and takes `array_min` over
+    * STRINGS. This pass keeps the minima as raw longs compared UNSIGNED
+    * (identical order to the padded-hex lexicographic min), hashes
+    * prefix+token bytes directly with the same XXH64(seed=42) Spark's
+    * `xxhash64` uses (driver-twin parity is the already-tested
+    * Bm25.termBucket pattern), and renders exactly nSeeds hex strings per
+    * document. Measured **15×** faster than either Column form (2.4 s vs
+    * ~35 s for 300k pages / 252M token-seed hashes ≈ 106M hashes/s; bench
+    * key minhash_xx64_sec vs minhash_xx64_columnar_sec). mapPartitions is
+    * justified here by the brief's own escape hatch: genuine per-partition
+    * imperative logic that the Column form demonstrably cannot match. */
+  def minhashFast(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val prefixes = Array.tabulate(nSeeds)(sd =>
+          (sd.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var buf = new Array[Byte](64)
+        it.flatMap { case (id, text) =>
+          val mins = Array.fill(nSeeds)(-1L) // unsigned max
+          var any = false
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) {
+              any = true
+              val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var sd = 0
+              while (sd < nSeeds) {
+                val p = prefixes(sd)
+                val len = p.length + tb.length
+                if (buf.length < len) buf = new Array[Byte](len * 2)
+                System.arraycopy(p, 0, buf, 0, p.length)
+                System.arraycopy(tb, 0, buf, p.length, tb.length)
+                val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(buf,
+                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+                if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
+                sd += 1
+              }
+            }
+            i += 1
+          }
+          if (!any) Iterator.empty // empty docs have no signature
+          else (0 until nSeeds).iterator.map { sd =>
+            val hx = java.lang.Long.toHexString(mins(sd))
+            (id, sd.toLong, "0" * (16 - hx.length) + hx)
+          }
+        }
+      }.toDF("doc_id", "seed", "minhash")
   }
 
   /** LSH bands over the minhash signature: rows-per-band = 2, band hash =

@@ -30,6 +30,17 @@ class SearchOpsSpec extends SparkSpec {
     assert(mdMap.count { case (k, v) => xxMap(k) == v } < md.length / 100,
       "xx64 signatures should not coincide with md5 signatures")
 
+    // the typed fast path (the production route behind minhash(Xx64)) must
+    // be BYTE-IDENTICAL to the xx64 COLUMN form (same XXH64 seed-42
+    // hashing, unsigned-long minima ≡ padded-hex lexicographic minima,
+    // same empty-token/empty-doc semantics)
+    val xxCol = Dedup.minhashColumnar(docs, hash = Dedup.Xx64)
+      .as[(Long, Long, String)].collect()
+    val fast = Dedup.minhashFast(docs)
+      .as[(Long, Long, String)].collect()
+    assert(fast.sorted.toSeq == xxCol.sorted.toSeq,
+      "minhashFast diverged from the xx64 Column form")
+
     // structural LSH guarantee, hash-independent: docs with IDENTICAL text
     // have identical signatures, so every exact-dup pair appears in lshPairs
     // under BOTH modes (testdata has no dups — inject copies of 20 docs
