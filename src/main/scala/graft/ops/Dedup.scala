@@ -207,8 +207,66 @@ object Dedup {
   }
 
   /** 32-bit SimHash from MD5 hex digits: for hex position p (1..8) and bit
-    * j (0..3), the signed tf-weighted bit vote decides the output bit. */
-  def simhash(docs: DataFrame): DataFrame = {
+    * j (0..3), the signed tf-weighted bit vote decides the output bit.
+    *
+    * Production route = [[simhashFast]]: ONE map-only typed pass
+    * (tf via a per-doc hash map, votes accumulated in a 32-slot array),
+    * bit-identical to the relational form — which survives as
+    * [[simhashColumnar]], the parity reference and the DuckDB oracle's
+    * shape. The relational plan costs two shuffles (the (doc,term) tf
+    * aggregation, then the (doc,bit) vote aggregation over a 32-way
+    * row multiplication); at corpus scale simhash is a signature pass and
+    * must cost one scan, like minhash. */
+  def simhash(docs: DataFrame): DataFrame = simhashFast(docs)
+
+  /** Zero-shuffle SimHash — bit-identical to [[simhashColumnar]]
+    * (parity-tested): same lowercase-hex MD5, same hex-digit/bit vote
+    * arithmetic, integer end-to-end. */
+  def simhashFast(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val tf = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) tf.merge(t, 1, Integer.sum _)
+            i += 1
+          }
+          if (tf.isEmpty) Iterator.empty
+          else {
+            val votes = new Array[Long](32)
+            tf.forEach { (t, n) =>
+              md.reset()
+              val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // hex digit p (0-based 0..7) = nibble of byte p/2, high first —
+              // exactly substr(md5hex, p+1, 1) of the relational form
+              var p = 0
+              while (p < 8) {
+                val b = dig(p / 2) & 0xFF
+                val v = if (p % 2 == 0) b >>> 4 else b & 0xF
+                var j = 0
+                while (j < 4) {
+                  votes(p * 4 + j) += n.toLong * (((v >> j) & 1) * 2 - 1)
+                  j += 1
+                }
+                p += 1
+              }
+            }
+            var sim = 0L
+            var b = 0
+            while (b < 32) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+            Iterator.single((id, sim))
+          }
+        }
+      }.toDF("doc_id", "simhash")
+  }
+
+  /** The relational SimHash — the oracle shape and parity reference. */
+  private[graft] def simhashColumnar(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val tf = TextOps.termFreq(docs)
       .withColumn("hx", md5s(col("term")))

@@ -41,6 +41,13 @@ class SearchOpsSpec extends SparkSpec {
     assert(fast.sorted.toSeq == xxCol.sorted.toSeq,
       "minhashFast diverged from the xx64 Column form")
 
+    // simhash: the zero-shuffle typed pass (the production route) must be
+    // bit-identical to the relational form the DuckDB oracle mirrors
+    val simCol = Dedup.simhashColumnar(docs).as[(Long, Long)].collect()
+    val simFast = Dedup.simhashFast(docs).as[(Long, Long)].collect()
+    assert(simFast.sorted.toSeq == simCol.sorted.toSeq,
+      "simhashFast diverged from the relational form")
+
     // structural LSH guarantee, hash-independent: docs with IDENTICAL text
     // have identical signatures, so every exact-dup pair appears in lshPairs
     // under BOTH modes (testdata has no dups — inject copies of 20 docs
