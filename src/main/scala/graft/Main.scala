@@ -59,6 +59,22 @@ object Main {
         val c = f()
         println(f"[hashbench] $tag $name%4s rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+    case "shinglebench" :: n :: Nil =>
+      // shingle-set generation: Column slide vs typed pass, warmed
+      val docs = Synth.pages(spark, n.toLong, 42L, 64)
+        .select(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("url"))
+            .bitwiseAND(org.apache.spark.sql.functions.lit(Long.MaxValue)).as("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      docs.write.mode("overwrite").parquet("/tmp/graft_shinglebench")
+      val d = spark.read.parquet("/tmp/graft_shinglebench")
+      for (tag <- Seq("warm", "timed"); (name, f) <- Seq[(String, () => Long)](
+        "col" -> (() => graft.ops.Dedup.shinglesColumnar(d).count()),
+        "fast" -> (() => graft.ops.Dedup.shinglesFast(d).count()))) {
+        val t0 = System.nanoTime()
+        val c = f()
+        println(f"[shinglebench] $tag $name%4s rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     case "wandstat" :: dir :: k :: qw if qw.nonEmpty =>
       // pruning telemetry + both paths timed, per query
       val h = Bm25.open(spark, dir).tuneForPointQueries().copy(wandCutoff = 0L)

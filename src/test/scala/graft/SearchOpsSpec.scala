@@ -41,6 +41,13 @@ class SearchOpsSpec extends SparkSpec {
     assert(fast.sorted.toSeq == xxCol.sorted.toSeq,
       "minhashFast diverged from the xx64 Column form")
 
+    // shingles: the typed pass (the production route) must emit the same
+    // (doc_id, shingle) set as the Column slide
+    val shCol = Dedup.shinglesColumnar(docs).as[(Long, String)].collect()
+    val shFast = Dedup.shinglesFast(docs).as[(Long, String)].collect()
+    assert(shFast.sorted.toSeq == shCol.sorted.toSeq,
+      "shinglesFast diverged from the Column slide")
+
     // simhash: the zero-shuffle typed pass (the production route) must be
     // bit-identical to the relational form the DuckDB oracle mirrors
     val simCol = Dedup.simhashColumnar(docs).as[(Long, Long)].collect()
