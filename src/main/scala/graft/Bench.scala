@@ -39,6 +39,12 @@ object Bench {
 
   private val BenchDocs =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+  /** Effective build size after the host pre-flight (phase 0): on a
+    * degraded host the whole bench runs at reduced scale so EVERY phase
+    * completes — a complete artifact at 50k docs beats a truncated one at
+    * 300k (BENCH_r03/r04 failure mode: rep-0 alone ate the budget on a
+    * collapsed box and starved reps, (8,32), WAND and hash phases). */
+  private var EffDocs = BenchDocs
   /** Sandbox hosts show up-to-8× noisy-neighbor variance (identical runs:
     * 18s vs 145s, GC 1s vs 27s). Scaling runs therefore ALTERNATE between
     * the two parallelism levels and report the per-level minimum — the
@@ -186,7 +192,6 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try InvertedIndex.deleteDir(ShmBase) catch { case _: Throwable => () }))
     val tmp = sys.props("java.io.tmpdir")
-    val pagesPath = s"$ShmBase/pages_$BenchDocs"
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
@@ -195,6 +200,34 @@ object Bench {
     val benchBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
     results += "bench_epoch_start" -> (System.currentTimeMillis() / 1000L).toDouble
+
+    // ---- phase 0: host pre-flight → ADAPTIVE SIZING ---------------------
+    // Diagnosis alone is not survival: two driver rounds landed on a
+    // memory-bandwidth-collapsed box (memcpy 1.8-3 GB/s vs 12-25 healthy)
+    // and the full-size rep-0 pair starved every later phase. Measure the
+    // box FIRST; when it is degraded, shrink the build corpus (and the WAND
+    // corpus, proportionally) so the complete phase ladder — ≥3 reps,
+    // (8,32), WAND, hash — fits the budget at reduced scale. Thresholds:
+    // healthy windows measure ≥12 GB/s aggregate memcpy at 8 threads and
+    // ~0.22-0.25 s for the 1-thread spin; membw@8 < 8 GB/s or spin-t1
+    // > 0.5 s marks the host degraded. The scale factor follows the
+    // measured bandwidth ratio (bw/20 GB/s, clamped to [1/10, 1]) — the
+    // build is bandwidth-bound on this box, so throughput tracks memcpy.
+    val (pfT1, pfScale8) = hostProbe()
+    val pfBw8 = math.max(memBw(8), memBw(8)) // max of 2: contention only lowers it
+    results += "preflight_t1_sec" -> round3(pfT1)
+    results += "preflight_scale8" -> round3(pfScale8)
+    results += "preflight_membw_gbps_8" -> round3(pfBw8)
+    val hostDegraded = pfBw8 < 8.0 || pfT1 > 0.5
+    if (hostDegraded) {
+      val factor = math.min(1.0, math.max(0.1, pfBw8 / 20.0))
+      EffDocs = math.max(30000L, (BenchDocs * factor / 1000).toLong * 1000)
+      results += "bench_docs_scaled_to" -> EffDocs.toDouble
+      System.err.println(f"[bench] DEGRADED HOST (membw $pfBw8%.1f GB/s, " +
+        f"t1 $pfT1%.2f s): scaling BenchDocs $BenchDocs -> $EffDocs")
+    }
+    val benchDocs = EffDocs
+    val pagesPath = s"$ShmBase/pages_$benchDocs"
 
     var probeT1Min = Double.MaxValue
     var probeScale8Max = 0.0
@@ -227,7 +260,7 @@ object Bench {
     locally {
       val s = session(CoresHigh)
       if (!Files.exists(Paths.get(pagesPath, "_SUCCESS"))) {
-        val (_, sec) = time(Synth.pages(s, BenchDocs, 42L, 64)
+        val (_, sec) = time(Synth.pages(s, benchDocs, 42L, 64)
           .write.mode("overwrite").parquet(pagesPath))
         results += "pages_gen_sec" -> round3(sec)
       }
@@ -271,9 +304,9 @@ object Bench {
       val th = tHigh.min
       results += s"index_build_p${CoresLow}_sec" -> round3(tl)
       results += s"index_build_p${CoresHigh}_sec" -> round3(th)
-      results += s"index_docs_per_sec_p$CoresLow" -> round3(BenchDocs / tl)
-      results += s"index_docs_per_sec_p$CoresHigh" -> round3(BenchDocs / th)
-      val effRaw = (BenchDocs / th) / (BenchDocs / tl) / 4.0
+      results += s"index_docs_per_sec_p$CoresLow" -> round3(benchDocs / tl)
+      results += s"index_docs_per_sec_p$CoresHigh" -> round3(benchDocs / th)
+      val effRaw = (benchDocs / th) / (benchDocs / tl) / 4.0
       results += "scaling_efficiency" -> round3(effRaw)
       // hardware per-thread slowdown between the two widths, measured per
       // rep; the MIN across reps is the least-contaminated estimate (a
@@ -327,7 +360,7 @@ object Bench {
           results += "build_p32_extra_at" -> round3(benchSpent)
           val t32 = timedBuild(32, warm = true)
           results += "build_p32_extra" -> round3(t32)
-          val eff832 = (BenchDocs / t32) / (BenchDocs / t8) / 4.0
+          val eff832 = (benchDocs / t32) / (benchDocs / t8) / 4.0
           results += "scaling_efficiency_8_32" -> round3(eff832)
           val adj832 = hwAdj(8, 32)
           results += "hw_perthread_slowdown_8_32" -> round3(adj832)
@@ -387,7 +420,16 @@ object Bench {
     // phase builds an index ABOVE the cutoff and measures the pruning path
     // against the exhaustive one on the reference query set, plus how many
     // blocks the bound actually skips.
-    val wandDocs = sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "2200000").toLong
+    // Degraded host: shrink the WAND corpus with the same bandwidth factor
+    // (it is the single most expensive phase) and lower the adaptive cutoff
+    // below the shrunken corpus so the pruning path still engages — the
+    // phase's POINT is pruning-vs-exhaustive, which measures at any size.
+    val wandDocsFull = sys.env.getOrElse("SPARK_GRAFT_WAND_DOCS", "2200000").toLong
+    val wandDocs =
+      if (!hostDegraded) wandDocsFull
+      else math.max(150000L,
+        (wandDocsFull * math.max(0.1, pfBw8 / 20.0) / 2 / 1000).toLong * 1000)
+    if (wandDocs != wandDocsFull) results += "wand_docs_scaled_to" -> wandDocs.toDouble
     if (wandDocs > 0 && benchSpent >= benchBudget) {
       results += "wand_phase_skipped_at_sec" -> round3(benchSpent)
       emit()
@@ -425,8 +467,11 @@ object Bench {
         val h0 = Bm25.open(s2, idxDir).tuneForPointQueries()
         // smoke-test knob: lower the cutoff to exercise this phase on a
         // small index; the driver run uses the production default
-        val h = sys.env.get("SPARK_GRAFT_WAND_CUTOFF")
-          .map(c => h0.copy(wandCutoff = c.toLong)).getOrElse(h0)
+        val cutoffOverride = sys.env.get("SPARK_GRAFT_WAND_CUTOFF").map(_.toLong)
+          .orElse(if (wandDocs < h0.wandCutoff) Some(wandDocs / 2) else None)
+        val h = cutoffOverride.map(c => h0.copy(wandCutoff = c)).getOrElse(h0)
+        cutoffOverride.foreach(c =>
+          results += "wand_cutoff_scaled_to" -> c.toDouble)
         require(h.nDocs >= h.wandCutoff,
           s"wand phase: ${h.nDocs} docs is below the ${h.wandCutoff} cutoff")
         h.topkWand("w1 w2", 10).collect() // warm: pruning path
@@ -452,10 +497,13 @@ object Bench {
         // Scores are compared ROUNDED to 6 dp (the same bit-stable
         // reshaping the oracles use): the two plans accumulate per-doc sums
         // in different orders, so raw-Double equality could fail on a
-        // last-ulp non-associativity difference that is not a real bug.
+        // last-ulp non-associativity difference that is not a real bug —
+        // and because both plans ORDER by the raw score, a last-ulp
+        // difference can also swap two near-tied docs, so the compare is on
+        // the SORTED rounded multiset, not the emitted order.
         def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
           df.collect().toSeq.map(r =>
-            (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+            (r.getLong(0), math.round(r.getDouble(1) * 1e6))).sorted
         for (q <- WandQueries) {
           val a = canon(h.topkWand(q, 10))
           val b = canon(h.topk(q, 10))
@@ -533,7 +581,7 @@ object Bench {
           s"(run min $t1m), 8-thread scaling $s8 of 8 (run max $s8m) — if the\n" +
           "current values are far off the run's best, the rows above them were\n" +
           "measured in a collapsed host window, not by the engine.\n\n"
-      md ++= s"Input: ${BenchDocs} synthetic pages (seed 42) for the index build; "
+      md ++= s"Input: ${EffDocs} synthetic pages (seed 42) for the index build; "
       md ++= s"`$sfDir` for the operator suite.\n\n"
       md ++= s"N→4N scaling pair: local[$CoresLow] vs local[$CoresHigh], alternating $Reps reps,\n"
       md ++= "per-level MINIMA (the sandbox host shows up-to-8x invisible-neighbor\n"
@@ -561,9 +609,11 @@ object Bench {
       r.get("scaling_efficiency").foreach(v =>
         md ++= s"| **scaling efficiency (N→4N)** | **$v** (north rule: ≥ 0.8) |\n")
       r.get("scaling_efficiency_hw_adj").foreach(v =>
-        md ++= s"| scaling efficiency, hw-adjusted (see hw_perthread_slowdown keys: " +
-          "single-box turbo/SMT makes a thread slower at the wider level; a real " +
-          s"4N-node cluster does not share one chip) | $v |\n")
+        md ++= s"| scaling efficiency, hw-adjusted — an UPPER-BOUND estimate, " +
+          "not the north-rule metric (the ALU spin probe captures turbo/SMT " +
+          "per-thread slowdown but NOT memory/shuffle contention, so the " +
+          "correction can overstate engine scaling; the raw row above is " +
+          s"the binding figure) | $v |\n")
       row("bm25_query_avg_sec", "BM25 top-10 avg latency (s)")
       row("bm25_query_max_sec", "BM25 top-10 max latency (s)")
       row("build_p8_extra", "extra idle-box pair: build local[8] (s)")
@@ -599,8 +649,12 @@ object Bench {
       row("minhash_md5_sec", "minhash md5-portable (s)")
       row("minhash_xx64_sec", "minhash xxhash64 production (s)")
       md ++= s"| operator suite total | ${round3(total)} s |\n\n"
-      val repsL = r.collect { case (k, v) if k.startsWith(s"build_p${CoresLow}_rep") => v }
-      val repsH = r.collect { case (k, v) if k.startsWith(s"build_p${CoresHigh}_rep") => v }
+      // durations only: the `build_p*_rep<N>_at` keys are phase TIMESTAMPS
+      // and must not be listed as if they were reps
+      val repsL = r.collect { case (k, v)
+        if k.startsWith(s"build_p${CoresLow}_rep") && !k.endsWith("_at") => v }
+      val repsH = r.collect { case (k, v)
+        if k.startsWith(s"build_p${CoresHigh}_rep") && !k.endsWith("_at") => v }
       if (repsL.nonEmpty)
         md ++= s"Build reps: local[$CoresLow] = ${repsL.mkString(", ")}; local[$CoresHigh] = ${repsH.mkString(", ")}\n\n"
       md ++= "Per-query seconds:\n\n| query | sec |\n|---|---|\n"

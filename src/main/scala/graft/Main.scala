@@ -165,19 +165,41 @@ object Main {
       run("AQE on + shuffle=4")
 
     case "profile" :: n :: Nil =>
-      // stage-by-stage timing of the build pipeline (no writes)
+      // stage-by-stage timing of the build pipeline, plus the head-to-head
+      // that motivated the per-doc pre-merge: token-instance feed (tf=1 per
+      // occurrence) vs docTermFreqs (one row per distinct term per doc)
+      // into the SAME salted sort, with REAL shuffle-write bytes from a
+      // SparkListener — the number a 100 TB cluster bills for.
       import spark.implicits._
       import org.apache.spark.sql.functions._
       val p = BuildParams(numShards = 1)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = s.stageInfo.taskMetrics
+            if (m != null) {
+              shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+              shuffleRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            }
+          }
+        })
       def gcMs: Long = {
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(_.getCollectionTime).sum
       }
       def t[A](name: String)(f: => A): A = {
-        val g0 = gcMs; val t0 = System.nanoTime(); val r = f
+        val g0 = gcMs; val t0 = System.nanoTime()
+        val b0 = shuffleBytes.get; val r0 = shuffleRecs.get
+        val r = f
+        Thread.sleep(400) // let the listener bus drain stage-completed events
+        val db = shuffleBytes.get - b0; val dr = shuffleRecs.get - r0
         println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-          f"  (driver-gc ${(gcMs - g0) / 1000.0}%6.1f s)"); r
+          f"  (driver-gc ${(gcMs - g0) / 1000.0}%6.1f s" +
+          f", shuffle ${db / 1048576.0}%8.1f MiB / $dr%,d rows)"); r
       }
       val scratch = s"${sys.props("java.io.tmpdir")}/graft_profile"
       val pages = Synth.pages(spark, n.toLong, 42L)
@@ -186,11 +208,15 @@ object Main {
         .write.mode("overwrite").parquet(s"$scratch/tok"))
       val tok = spark.read.parquet(s"$scratch/tok")
       val avgdl = t("avgdl")(tok.agg(avg($"dl")).head.getDouble(0))
-      val toks = tok.select($"shard".cast("int").as("shard"),
+      val instances = tok.select($"shard".cast("int").as("shard"),
         explode($"tokens").as("term"), $"doc_id", lit(1).as("tf"), $"dl")
         .as[graft.index.ShardPosting]
-      t("salted-encode+write")(
-        graft.index.IndexBuild.saltedRuns(toks, Map.empty, p, avgdl)
+      val premerged = graft.index.IndexBuild.docTermFreqs(tok)
+      t("salted-encode[instances]")(
+        graft.index.IndexBuild.saltedRuns(instances, Map.empty, p, avgdl)
+          .write.mode("overwrite").parquet(s"$scratch/runs_inst"))
+      t("salted-encode[premerge]")(
+        graft.index.IndexBuild.saltedRuns(premerged, Map.empty, p, avgdl)
           .write.mode("overwrite").parquet(s"$scratch/runs"))
       t("layout-repartition+write")(
         spark.read.parquet(s"$scratch/runs")

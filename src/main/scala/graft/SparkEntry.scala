@@ -388,9 +388,11 @@ object SparkEntry {
          |FROM votes GROUP BY 1""".stripMargin,
     "q_jaccard_pairs" ->
       s"""WITH $TOKS, $SH,
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shf AS (SELECT doc_id, shingle FROM sh
+         |        QUALIFY count(*) OVER (PARTITION BY shingle) <= 50),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
          |FROM inter

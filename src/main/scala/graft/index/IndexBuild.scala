@@ -61,10 +61,10 @@ case class BuildParams(
   * blocked external sort-merge index (reference: index/hash_index.py:24-201)
   * as a declarative pipeline:
   *
-  *   pages → extract+tokenize (narrow) → explode → range-salted
-  *   repartition+sort (ONE skew-bounded shuffle) → run-length tf +
-  *   varbyte block encode → partitioned Parquet postings + doc/term/corpus
-  *   stats + manifest.
+  *   pages → extract+tokenize (narrow) → per-doc (term, tf) pre-merge
+  *   (docTermFreqs) → range-salted repartition+sort (ONE skew-bounded
+  *   shuffle) → varbyte block encode → partitioned Parquet postings +
+  *   doc/term/corpus stats + manifest.
   *
   * Everything is Dataset/Catalyst — the only imperative code runs inside
   * `flatMapSortedGroups` (block encode), the typed-Dataset analog of the
@@ -138,6 +138,54 @@ object IndexBuild {
       .agg(count(lit(1)).cast("int").as("tf"))
       .select($"term", $"doc_id", $"tf", $"dl".as("dl"))
       .as[Posting]
+  }
+
+  /** Tiny mutable counter cell — one allocation per DISTINCT term per doc
+    * (which is exactly one emitted row), never one per increment. */
+  private final class Cnt { var v: Int = 0 }
+
+  /** Map-side per-doc pre-merge: one ShardPosting per DISTINCT (term, doc)
+    * with its tf, instead of one row per TOKEN INSTANCE (tf=1). A doc's
+    * tokens are adjacent by construction (they are one array in the scratch
+    * row), so the merge state is a per-doc HashMap — O(doc), reset per row —
+    * never the corpus-wide (term, doc_id) hash agg this build deliberately
+    * avoids (group count ≈ corpus size degenerates into an external sort).
+    *
+    * This cuts the build's ONE shuffle by the within-doc term-duplication
+    * factor in both rows and bytes (the term string no longer travels once
+    * per occurrence) — the dominant cost of a 100 TB build and the lever on
+    * a bandwidth-capped box. Downstream [[saltedRuns]] is unchanged:
+    * `mergeConsecutive` accepts pre-aggregated input as a no-op, and the
+    * per-(term,salt) doc_id-sorted posting stream — hence every encoded
+    * block — is byte-identical to the raw-instance feed. */
+  def docTermFreqs(tokenized: DataFrame): Dataset[ShardPosting] = {
+    import tokenized.sparkSession.implicits._
+    tokenized
+      .select($"shard".cast("int").as("shard"), $"doc_id", $"dl", $"tokens")
+      .as[(Int, Long, Int, Array[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (shard, docId, dl, tokens) =>
+          val counts = new java.util.HashMap[String, Cnt](
+            math.max(8, tokens.length * 2))
+          var i = 0
+          while (i < tokens.length) {
+            val t = tokens(i)
+            var c = counts.get(t)
+            if (c == null) { c = new Cnt; counts.put(t, c) }
+            c.v += 1
+            i += 1
+          }
+          val out = new Array[ShardPosting](counts.size)
+          val eit = counts.entrySet().iterator()
+          var j = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            out(j) = ShardPosting(shard, e.getKey, docId, e.getValue.v, dl)
+            j += 1
+          }
+          out
+        }
+      }
   }
 
   private def tfSat(tf: Int, dl: Int, avgdl: Double, k1: Double, b: Double): Double =

@@ -112,7 +112,9 @@ object InvertedIndex {
     *      sample scaled back up (heavy hitters ≥ saltThreshold have <3%
     *      sampling error; a missed borderline term just sorts unsalted,
     *      which the spilling shuffle absorbs).
-    *   3. per wave of shards (the resume unit): explode scratch → ONE
+    *   3. per wave of shards (the resume unit): per-doc pre-merged
+    *      (term, tf) rows off the scratch (IndexBuild.docTermFreqs — one
+    *      shuffle row per distinct term per doc, not per token) → ONE
     *      skew-bounded shuffle (range-salted sort-encode, no merge stage —
     *      see IndexBuild.rangeSalt) → layout repartition → postings write;
     *      then docstats / corpus writes (concurrently) and LAST the
@@ -180,15 +182,14 @@ object InvertedIndex {
       math.max(nDocs, 1L)
     val hotDf: Map[String, Long] = Await.result(hotDfF, Duration.Inf)
 
-    // Token instances (tf=1 each). There is deliberately NO corpus-wide
-    // (term, doc_id) aggregation: its group count ≈ corpus size degenerates
-    // hash agg into an external sort; instead tf falls out of run-length
-    // counting inside the salted sort (IndexBuild.mergeConsecutive).
-    def tokenInstances(shards: Seq[Int]) = tokenized
-      .filter($"shard".isin(shards: _*))
-      .select($"shard".cast("int").as("shard"),
-        explode($"tokens").as("term"), $"doc_id", lit(1).as("tf"), $"dl")
-      .as[ShardPosting]
+    // Per-doc pre-merged (term, tf) postings — one shuffle row per DISTINCT
+    // term per doc, not per token instance (IndexBuild.docTermFreqs). There
+    // is deliberately NO corpus-wide (term, doc_id) aggregation: its group
+    // count ≈ corpus size degenerates hash agg into an external sort; the
+    // per-doc HashMap is O(doc) and the salted sort's run-length merge
+    // (IndexBuild.mergeConsecutive) remains as a no-op safety net.
+    def wavePostingsInput(shards: Seq[Int]) =
+      IndexBuild.docTermFreqs(tokenized.filter($"shard".isin(shards: _*)))
 
     // Waves. A wave of shards is ONE shuffle + ONE set of writes; its
     // shards commit together (all-or-nothing), so waveShards trades resume
@@ -198,8 +199,9 @@ object InvertedIndex {
     for (wave <- todo.grouped(waveSize)) {
       val t0 = System.nanoTime()
       // The wave's ONE shuffle must be partitioned ∝ data, whatever the
-      // session default: sum_dl IS the wave's posting count, so size the
-      // sort at ~1.5M postings (~60 MB of task state) per partition.
+      // session default: sum_dl upper-bounds the wave's posting count (the
+      // per-doc pre-merge only shrinks it), so size the sort at ~1.5M
+      // postings (~60 MB of task state) per partition.
       // Measured cliff this guards: 16 partitions × ~14M postings at 2.2M
       // docs spilled the salted sort into a 47× blowup (1074 s vs a
       // linear-profile 290 s); small builds keep the session value (we
@@ -212,7 +214,7 @@ object InvertedIndex {
       if (wavePartitions != prevShuffle)
         spark.conf.set("spark.sql.shuffle.partitions", wavePartitions.toString)
       try phaseTimed("postings-build")(
-        IndexBuild.buildShardPostings(tokenInstances(wave), hotDf, p, avgdl)
+        IndexBuild.buildShardPostings(wavePostingsInput(wave), hotDf, p, avgdl)
           .withColumn("bucket",
             pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
           .repartition(col("shard"), col("bucket"))

@@ -344,10 +344,26 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs (≥ threshold), via shingle equi-join —
-    * never an all-pairs product. The threshold predicate is a ratio of
-    * integers, so it is bit-deterministic across engines. */
-  def jaccardPairs(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    * never an all-pairs product.
+    *
+    * Hot-shingle cap (the 100 TB guard, same trade as [[lshPairs]]'s bucket
+    * cap): a shingle appearing in m docs emits m²/2 join rows, so ONE
+    * boilerplate trigram ("click here to", a license header line) shared by
+    * the whole corpus makes the output quadratic in corpus size. Shingles
+    * with df > `maxDf` are dropped from the shingle universe BEFORE both
+    * the join and the per-doc set sizes: Jaccard is then estimated over the
+    * non-boilerplate shingles — the standard dedup trade (pairs that only
+    * share boilerplate stop matching; genuinely similar pairs still match
+    * on their distinctive shingles). Deterministic and QUALIFY-expressible,
+    * so the DuckDB oracle applies the identical cap. The threshold
+    * predicate is a ratio of integers, so it is bit-deterministic across
+    * engines. */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.2,
+                   maxDf: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
     val sh = shingles(docs)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf).drop("df")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

@@ -116,6 +116,82 @@ class SearchOpsSpec extends SparkSpec {
     assert(rates.contains(("minhash_forest", "exact")), s"rates: $rates")
   }
 
+  test("typed fast paths: generator-driven parity with the Column forms " +
+    "on adversarial docs (empty, single-token, repeated-token, multi-byte " +
+    "UTF-8, stray spaces)") {
+    // seeded generator, plain loop (no scalatestplus in the offline cache):
+    // the typed routes ARE production, so their equivalence proof must not
+    // rest on one fixed corpus shape
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Array("alpha", "beta", "the", "x", "héllo", "日本語", "émigré",
+      "ß", "naïve", "Ω", "word2", "a", "longtokenwithmanycharacters",
+      "ähnlich", "中文分词", "πθ")
+    def randTok() = vocab(rnd.nextInt(vocab.length))
+    val docs: Seq[(Long, String)] = (0 until 220).map { i =>
+      val text = i % 10 match {
+        case 0 => "" // empty doc
+        case 1 => randTok() // single token
+        case 2 => val t = randTok(); Seq.fill(2 + rnd.nextInt(8))(t).mkString(" ")
+        case 3 => // stray spaces: double, leading, trailing
+          "  " + Seq.fill(1 + rnd.nextInt(6))(randTok()).mkString("  ") + " "
+        case _ => Seq.fill(1 + rnd.nextInt(12))(randTok()).mkString(" ")
+      }
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    val mFast = Dedup.minhashFast(df)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val mCol = Dedup.minhashColumnar(df, hash = Dedup.Xx64)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(mFast == mCol, "minhashFast diverged on adversarial corpus")
+
+    val sFast = Dedup.simhash(df)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val sCol = Dedup.simhashColumnar(df)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(sFast == sCol, "simhashFast diverged on adversarial corpus")
+
+    val shFast = Dedup.shingles(df)
+      .as[(Long, String)].collect().sorted.toSeq
+    val shCol = Dedup.shinglesColumnar(df)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(shFast == shCol, "shinglesFast diverged on adversarial corpus")
+
+    // the empty and sub-n docs really are absent (not present-with-garbage)
+    val emptyIds = docs.filter(_._2.trim.isEmpty).map(_._1).toSet
+    assert(emptyIds.nonEmpty)
+    assert(mFast.forall(r => !emptyIds.contains(r._1)))
+    assert(sFast.forall(r => !emptyIds.contains(r._1)))
+  }
+
+  test("jaccardPairs hot-shingle cap: corpus-wide boilerplate shingle " +
+    "yields O(n) pairs, not O(n^2)") {
+    // n docs: every doc opens with the same boilerplate trigram; docs
+    // (2k, 2k+1) additionally share three distinctive trigrams; the tail
+    // trigrams are unique per doc.
+    val n = 120
+    val corpus = (0 until n).map { i =>
+      val p = i / 2
+      (i.toLong,
+        s"common boiler plate distinct$p shared tail unique$i only$i here$i")
+    }.toDF("doc_id", "text")
+    // capped (production default maxDf=50): the df=n boilerplate shingle is
+    // dropped before the join — only the n/2 partner pairs remain
+    val capped = Dedup.jaccardPairs(corpus, threshold = 0.05)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.length == n / 2, s"expected ${n / 2} partner pairs, " +
+      s"got ${capped.length}")
+    assert(capped.forall { case (a, b, j) => b == a + 1 && a % 2 == 0 &&
+      math.abs(j - 3.0 / 9.0) < 1e-6 }, s"got ${capped.take(5).toSeq}")
+    // uncapped: the boilerplate shingle alone connects every doc to every
+    // other — the classic quadratic dedup blowup the cap exists to stop
+    val uncapped = Dedup.jaccardPairs(corpus, threshold = 0.05,
+      maxDf = Int.MaxValue).count()
+    assert(uncapped == n.toLong * (n - 1) / 2,
+      s"uncapped should be all-pairs, got $uncapped")
+  }
+
   test("forest top-k: deeper prefix matches rank first; self-retrieval " +
     "of exact text hits at full depth") {
     val (docId, text) = docs.select($"doc_id", $"text")
