@@ -16,9 +16,6 @@ case class Posting(term: String, doc_id: Long, tf: Int, dl: Int)
   * (shard, term[, salt]) so one job processes a whole wave of shards. */
 case class ShardPosting(shard: Int, term: String, doc_id: Long, tf: Int, dl: Int)
 
-case class SaltedPosting(shard: Int, term: String, salt: Int, doc_id: Long,
-                         tf: Int, dl: Int)
-
 /** One compressed posting block: ≤ blockSize docs, sorted by doc_id, with
   * per-block max-score metadata for block-max WAND.
   * Structural ancestor: the reference's sorted pickled blocks + sparse
@@ -268,13 +265,28 @@ object IndexBuild {
   def rangeSalt(docId: Long, n: Int): Int =
     if (n <= 1) 0 else (docId / (Long.MaxValue / n + 1)).toInt
 
+  /** The shuffled value of the salted sort: doc_id plus (tf, dl) packed
+    * into one long. Byte discipline for the build's ONE big exchange —
+    * every UnsafeRow field costs a full 8-byte slot regardless of declared
+    * width, so two ints packed into one long halve their wire cost. */
+  private[index] case class RunValue(doc_id: Long, tfdl: Long)
+
   /** Salt hot terms, shuffle on (shard, term, salt), sort by doc_id within
     * each group, varbyte-encode runs. The salt bounds any single task's
     * state to ~targetPerSalt postings regardless of term skew; keying by
     * shard lets ONE job process a whole wave of shards. Because the salt is
     * a doc_id RANGE (see [[rangeSalt]]), the emitted blocks of a term are
     * globally non-overlapping and need no downstream merge: this one
-    * shuffle is the entire postings build. */
+    * shuffle is the entire postings build.
+    *
+    * Shuffle-byte discipline (this exchange IS the build's wire cost at
+    * 100 TB): `groupByKey` APPENDS its key columns to the row, so a naive
+    * value of SaltedPosting ships `term` twice and shard/salt twice per
+    * posting. Here `mapValues` strips the value to (doc_id, tf|dl packed)
+    * BEFORE the exchange and the key carries ((shard|salt) packed, term) —
+    * the term string travels exactly once and the row shrinks from nine
+    * 8-byte slots + two strings to four slots + one string. Block output
+    * is byte-identical (same per-(term,salt) doc_id-sorted stream). */
   def saltedRuns(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
                  p: BuildParams, avgdl: Double): Dataset[PostingBlock] = {
     val spark = tf.sparkSession
@@ -284,16 +296,16 @@ object IndexBuild {
     }
     val bcHot = spark.sparkContext.broadcast(hotSalts)
     val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
-    val salted = tf.map { pp =>
-      val n = bcHot.value.getOrElse(pp.term, 1)
-      SaltedPosting(pp.shard, pp.term, rangeSalt(pp.doc_id, n),
-        pp.doc_id, pp.tf, pp.dl)
-    }
-    salted
-      .groupByKey(sp => (sp.shard, sp.term, sp.salt))
-      .flatMapSortedGroups($"doc_id") { case ((shard, term, salt), it) =>
-        encodeBlocks(shard, term, salt,
-          it.map(sp => Posting(sp.term, sp.doc_id, sp.tf, sp.dl)),
+    tf
+      .groupByKey { pp =>
+        val n = bcHot.value.getOrElse(pp.term, 1)
+        ((pp.shard.toLong << 32) | rangeSalt(pp.doc_id, n), pp.term)
+      }
+      .mapValues(pp => RunValue(pp.doc_id, (pp.tf.toLong << 32) | pp.dl))
+      .flatMapSortedGroups($"doc_id") { case ((gk, term), it) =>
+        encodeBlocks((gk >>> 32).toInt, term, gk.toInt,
+          it.map(v => Posting(term, v.doc_id,
+            (v.tfdl >>> 32).toInt, v.tfdl.toInt)),
           blockSize, avgdl, k1, b)
       }
   }
