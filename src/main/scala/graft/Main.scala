@@ -218,6 +218,27 @@ object Main {
       t("salted-encode[premerge]")(
         graft.index.IndexBuild.saltedRuns(premerged, Map.empty, p, avgdl)
           .write.mode("overwrite").parquet(s"$scratch/runs"))
+      // Dictionary-encoding UPPER BOUND: ship a 64-bit term hash instead of
+      // the term string through the same salted sort. This is the floor on
+      // shuffle bytes ANY dictionary scheme (hot-term ints, global dict)
+      // could reach — if the gap to [premerge] is small, no dictionary
+      // variant can pay for its added complexity (and a pure-hash key would
+      // additionally risk silent posting-list merges on 64-bit collisions,
+      // which the string-keyed production path cannot have).
+      t("salted-encode[dict-ub]")(
+        premerged.groupByKey(pp => {
+          val tb = pp.term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val th = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            tb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, tb.length, 42L)
+          (pp.shard.toLong << 32, th)
+        })
+          .mapValues(pp => (pp.doc_id, (pp.tf.toLong << 32) | pp.dl))
+          .flatMapSortedGroups($"_1") { case ((gk, th), it) =>
+            var n = 0L; var last = Long.MinValue
+            while (it.hasNext) { val v = it.next(); if (v._1 != last) n += 1; last = v._1 }
+            Iterator.single((gk, th, n))
+          }
+          .write.mode("overwrite").parquet(s"$scratch/runs_dict"))
       t("layout-repartition+write")(
         spark.read.parquet(s"$scratch/runs")
           .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))

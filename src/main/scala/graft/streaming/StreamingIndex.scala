@@ -84,8 +84,11 @@ object StreamingIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(s"$dir/corpus")
 
-    val tf = IndexBuild.termFreqs(tokenized.drop("shard"))
-      .map(pp => graft.index.ShardPosting(seg, pp.term, pp.doc_id, pp.tf, pp.dl))
+    // per-doc map-side pre-merge (same feed as the batch build): one row
+    // per distinct term per doc, NO (term, doc) aggregation exchange — the
+    // streaming append previously paid a full groupBy shuffle per
+    // micro-batch for tf that run-length/pre-merge semantics give for free
+    val tf = IndexBuild.docTermFreqs(tokenized)
     val postings = IndexBuild.buildShardPostings(tf, Map.empty, p, avgdl)
       .withColumn("bucket", pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
