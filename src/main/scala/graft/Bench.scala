@@ -379,6 +379,19 @@ object Bench {
       emit()
     }
 
+    // Scaling-harvest knob: SPARK_GRAFT_SCALING_ONLY=1 stops after the
+    // scaling phases (reps + (8,32)) — for repeatedly sampling host windows
+    // in search of a clean one, where a full suite per sample would waste
+    // most of the wall-clock. Never set on driver runs.
+    if (sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")) {
+      emit()
+      if (errors.nonEmpty) {
+        System.err.println(s"[bench] FAILED: ${errors.keys.mkString(", ")}")
+        sys.exit(3)
+      }
+      return
+    }
+
     // ---- phase 3: query latency + operator suite on the bench session ---
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", CoresHigh.toString).toInt
     val s = session(cpus)

@@ -15,6 +15,9 @@ import graft.query.Bm25
   *   graft.Main wand  <indexDir> <k> <query words...>
   */
 object Main {
+  /** Shuffled value of the profile CLI's dictionary-upper-bound variant. */
+  case class DictV(d: Long, m: Long)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -232,10 +235,10 @@ object Main {
             tb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, tb.length, 42L)
           (pp.shard.toLong << 32, th)
         })
-          .mapValues(pp => (pp.doc_id, (pp.tf.toLong << 32) | pp.dl))
-          .flatMapSortedGroups($"_1") { case ((gk, th), it) =>
+          .mapValues(pp => DictV(pp.doc_id, (pp.tf.toLong << 32) | pp.dl))
+          .flatMapSortedGroups($"d") { case ((gk, th), it) =>
             var n = 0L; var last = Long.MinValue
-            while (it.hasNext) { val v = it.next(); if (v._1 != last) n += 1; last = v._1 }
+            while (it.hasNext) { val v = it.next(); if (v.d != last) n += 1; last = v.d }
             Iterator.single((gk, th, n))
           }
           .write.mode("overwrite").parquet(s"$scratch/runs_dict"))
