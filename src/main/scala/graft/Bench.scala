@@ -427,6 +427,51 @@ object Bench {
     s.stop()
     emit()
 
+    // ---- optional: production-hash instrumentation ----------------------
+    // md5-portable (the oracle shape) vs the xxhash64 production path over
+    // 100k bench pages (~10M token hashes × 8 seeds) — the tiny sf
+    // documents table is overhead-dominated and can't separate the hash
+    // costs. Strictly budget-gated and strictly AFTER every scaling rep,
+    // the (8,32) pair and the suite (its r3 shape starved the scaling reps
+    // — 345 s then; ~40 s now that the typed path is production), but
+    // BEFORE the WAND phase: WAND is the longest phase by far and runs to
+    // completion past the budget line, so anything ordered after it is
+    // skipped on every healthy full-size run (r4's ladder).
+    if (benchSpent >= benchBudget)
+      results += "hash_phase_skipped_at_sec" -> round3(benchSpent)
+    else {
+      results += "hash_phase_at" -> round3(benchSpent)
+      val s3 = session(CoresHigh)
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        // 1/3 hash-sample (~100k pages), NOT .limit(): GlobalLimit coalesces
+        // to one partition and would run the narrow op single-threaded
+        val hashDocs = s3.read.parquet(pagesPath)
+          .filter(pmod(xxhash64(col("url")), lit(3)) === 0)
+          .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
+            col("text"))
+        // untimed warm pass PER MODE (as the hashbench CLI does): without
+        // it the first-timed mode also pays the cold parquet scan + its
+        // codegen/JIT warm-up, biasing the md5/xx64 ratio
+        graft.ops.Dedup.minhash(hashDocs).count()
+        graft.ops.Dedup.minhashColumnar(hashDocs, hash = graft.ops.Dedup.Xx64).count()
+        graft.ops.Dedup.minhash(hashDocs, hash = graft.ops.Dedup.Xx64).count()
+        results += "minhash_md5_sec" ->
+          round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
+        results += "minhash_xx64_columnar_sec" ->
+          round3(time(graft.ops.Dedup.minhashColumnar(hashDocs,
+            hash = graft.ops.Dedup.Xx64).count())._2)
+        // the production route (minhash(Xx64) = the typed fast path)
+        results += "minhash_xx64_sec" ->
+          round3(time(graft.ops.Dedup.minhash(hashDocs,
+            hash = graft.ops.Dedup.Xx64).count())._2)
+      } catch {
+        case e: Throwable =>
+          errors += "minhash_hash_modes" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      } finally s3.stop()
+    }
+    emit()
+
     // ---- WAND phase: block-max pruning above the adaptive cutoff --------
     // Every suite/index query so far sits below wandCutoff (2M docs), so
     // production traffic always took the exhaustive single-pass plan. This
@@ -533,45 +578,6 @@ object Bench {
       emit()
     }
 
-    // ---- LAST, optional: production-hash instrumentation ----------------
-    // md5-portable (the oracle shape) vs the xxhash64 production path over
-    // 100k bench pages (~10M token hashes × 8 seeds) — the tiny sf
-    // documents table is overhead-dominated and can't separate the hash
-    // costs. Strictly budget-gated and strictly after every scaling/WAND
-    // phase: this is the 345 s that starved BENCH_r03's scaling reps.
-    if (benchSpent >= benchBudget)
-      results += "hash_phase_skipped_at_sec" -> round3(benchSpent)
-    else {
-      results += "hash_phase_at" -> round3(benchSpent)
-      val s3 = session(CoresHigh)
-      try {
-        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        // 1/3 hash-sample (~100k pages), NOT .limit(): GlobalLimit coalesces
-        // to one partition and would run the narrow op single-threaded
-        val hashDocs = s3.read.parquet(pagesPath)
-          .filter(pmod(xxhash64(col("url")), lit(3)) === 0)
-          .select(xxhash64(col("url")).bitwiseAND(lit(Long.MaxValue)).as("doc_id"),
-            col("text"))
-        // untimed warm pass PER MODE (as the hashbench CLI does): without
-        // it the first-timed mode also pays the cold parquet scan + its
-        // codegen/JIT warm-up, biasing the md5/xx64 ratio
-        graft.ops.Dedup.minhash(hashDocs).count()
-        graft.ops.Dedup.minhashColumnar(hashDocs, hash = graft.ops.Dedup.Xx64).count()
-        graft.ops.Dedup.minhash(hashDocs, hash = graft.ops.Dedup.Xx64).count()
-        results += "minhash_md5_sec" ->
-          round3(time(graft.ops.Dedup.minhash(hashDocs).count())._2)
-        results += "minhash_xx64_columnar_sec" ->
-          round3(time(graft.ops.Dedup.minhashColumnar(hashDocs,
-            hash = graft.ops.Dedup.Xx64).count())._2)
-        // the production route (minhash(Xx64) = the typed fast path)
-        results += "minhash_xx64_sec" ->
-          round3(time(graft.ops.Dedup.minhash(hashDocs,
-            hash = graft.ops.Dedup.Xx64).count())._2)
-      } catch {
-        case e: Throwable =>
-          errors += "minhash_hash_modes" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-      } finally s3.stop()
-    }
     emit()
 
     if (errors.nonEmpty) {
