@@ -291,6 +291,7 @@ object Bench {
     val tLow = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tHigh = scala.collection.mutable.ArrayBuffer.empty[Double]
     val hwAdjs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val effPairs = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runRep(rep: Int): Unit = {
       results += s"build_p${CoresLow}_rep${rep}_at" -> round3(benchSpent)
       tLow += timedBuild(CoresLow, warm = rep == 0)
@@ -308,6 +309,18 @@ object Bench {
       results += s"index_docs_per_sec_p$CoresHigh" -> round3(benchDocs / th)
       val effRaw = (benchDocs / th) / (benchDocs / tl) / 4.0
       results += "scaling_efficiency" -> round3(effRaw)
+      // Per-rep pair efficiency: THIS rep's (tN, t4N), measured
+      // back-to-back inside one host window (~minutes apart), so unlike
+      // the minima headline it cannot pair a lucky-clean narrow slot from
+      // one window with a bandwidth-ceiling wide slot from another (the
+      // batch-1 harvest showed that mix deflating raw to 0.63 while each
+      // individual window read ≥0.75). Raw, no hardware adjustment; the
+      // max across reps is the least window-mixed single raw sample. The
+      // minima-based `scaling_efficiency` above remains the binding,
+      // conservative headline.
+      effPairs += tLow.last / (4.0 * tHigh.last)
+      results += s"scaling_efficiency_pair_rep$rep" -> round3(effPairs.last)
+      results += "scaling_efficiency_best_pair" -> round3(effPairs.max)
       // hardware per-thread slowdown between the two widths, measured per
       // rep; the MIN across reps is the least-contaminated estimate (a
       // collapsed window only inflates it, so min can't over-correct), and
@@ -633,6 +646,11 @@ object Bench {
           "per-thread slowdown but NOT memory/shuffle contention, so the " +
           "correction can overstate engine scaling; the raw row above is " +
           s"the binding figure) | $v |\n")
+      r.get("scaling_efficiency_best_pair").foreach(v =>
+        md ++= s"| best single-window rep pair (raw; each rep's N/4N builds " +
+          "run back-to-back in one host window — immune to the cross-window " +
+          "minima mix; the headline row above is the binding, conservative " +
+          s"figure) | $v |\n")
       row("bm25_query_avg_sec", "BM25 top-10 avg latency (s)")
       row("bm25_query_max_sec", "BM25 top-10 max latency (s)")
       row("build_p8_extra", "extra idle-box pair: build local[8] (s)")
