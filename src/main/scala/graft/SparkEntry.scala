@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.Synth
+import graft.data.{PostsXml, Synth}
 import graft.index.{BuildParams, IndexBuild, InvertedIndex}
 import graft.ops.{Dedup, Similarity, TextOps}
 import graft.query.Bm25
@@ -62,6 +62,11 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "q_jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(docs(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprint(docs(s, d))),
+    "q_wminhash" -> ((s, d) => Dedup.weightedMinhash(docs(s, d))),
+    "q_wjaccard_pairs" -> ((s, d) => Dedup.weightedJaccardPairs(docs(s, d))),
+    // --- Posts.xml ingest (round-trip through the XML source) -----------
+    "q_xml_ingest" -> ((s, d) => xmlRoundTrip(s, d)),
+    "q_xml_questions" -> ((s, d) => xmlQuestions(s, d)),
     // --- similarity search ---------------------------------------------
     "q_cosine_topk" -> ((s, d) => Similarity.cosineTopK(emb(s, d))),
     "q_ann_buckets" -> ((s, d) => Similarity.annBuckets(emb(s, d))),
@@ -232,6 +237,53 @@ object SparkEntry {
       .coalesce(1).write.mode("overwrite").parquet(PagesExportDir)
   }
 
+  /** Literal /tmp exports of the documents table rendered as Posts.xml
+    * lines — the q_xml_* round-trip inputs (same single-driver export
+    * contract as [[PagesExportDir]]). */
+  private val XmlExportDir = "/tmp/graft_xml_export_v1"
+  private val XmlQExportDir = "/tmp/graft_xmlq_export_v1"
+
+  /** Render every document as a question `<row/>`, re-ingest through
+    * [[PostsXml.read]], and emit per-row identity evidence (lengths +
+    * md5 of the body). The oracle computes the same rows straight from
+    * the parquet, so any escape/parse divergence hash-mismatches. */
+  private def xmlRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val posts = docs(s, d).select(
+      col("doc_id").as("id"), lit(1L).as("post_type_id"),
+      lit(null).cast("long").as("parent_id"), col("n_chars").as("score"),
+      concat_ws(" ", col("lang"), col("source")).as("title"),
+      col("text").as("body"))
+    PostsXml.render(posts).coalesce(1).write.mode("overwrite").text(XmlExportDir)
+    PostsXml.read(s, XmlExportDir).toDF()
+      .select(col("id"), col("post_type_id"), col("score"), col("title"),
+        length(col("body")).cast("long").as("text_len"),
+        md5(col("body").cast("binary")).as("h"))
+  }
+
+  /** Mixed question/answer dump: doc_id % 5 == 0 renders as a question,
+    * the other four docs of each block as its answers (ParentId = the
+    * block head). Parsed back through [[PostsXml.questions]] — exercises
+    * attribute omission, the ParentId attach, and the cleanString pass
+    * end-to-end under the driver gate. */
+  private def xmlQuestions(s: SparkSession, d: String): DataFrame = {
+    val posts = docs(s, d).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") % 5 === 0, 1L).otherwise(2L).as("post_type_id"),
+      when(col("doc_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id") - (col("doc_id") % 5)).as("parent_id"),
+      col("n_chars").as("score"),
+      when(col("doc_id") % 5 === 0,
+        concat_ws(" ", col("lang"), col("source"))).as("title"),
+      col("text").as("body"))
+    PostsXml.render(posts).coalesce(1).write.mode("overwrite").text(XmlQExportDir)
+    PostsXml.questions(PostsXml.read(s, XmlQExportDir))
+      .select(col("id"), col("title"), col("n_answers"),
+        coalesce(col("answer_ids")(0), lit(-1L)).as("first_aid"),
+        length(col("body")).cast("long").as("body_len"),
+        coalesce(aggregate(col("answers"), lit(0L),
+          (acc, x) => acc + length(x)), lit(0L)).as("ans_len"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL (validated against DuckDB v1.0; same column names,
   // same rounding, same tie-breaks as the Spark twins above).
@@ -250,6 +302,18 @@ object SparkEntry {
       |  SELECT t.doc_id, s.seed,
       |         min(substr(md5(s.seed::VARCHAR || ':' || t.term), 1, 16)) AS minhash
       |  FROM toks t CROSS JOIN (SELECT unnest(range(8)) AS seed) s
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** tf-weighted minhash: integer-weight replication (rep 0..tf-1), hash
+    * input "$seed:$rep:$term" — the exact twin of Dedup.weightedMinhash. */
+  private val WMH =
+    """wtf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |wreps AS (SELECT doc_id, term, unnest(range(tf)) AS rep FROM wtf),
+      |wmh AS (
+      |  SELECT r.doc_id, s.seed,
+      |         min(substr(md5(s.seed::VARCHAR || ':' || r.rep::VARCHAR || ':' || r.term),
+      |                    1, 16)) AS minhash
+      |  FROM wreps r CROSS JOIN (SELECT unnest(range(8)) AS seed) s
       |  GROUP BY 1, 2)""".stripMargin
 
   private val BANDS =
@@ -402,6 +466,39 @@ object SparkEntry {
     "q_fingerprint" ->
       s"""WITH $TOKS, $SH
          |SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY 1""".stripMargin,
+    "q_wminhash" ->
+      s"WITH $TOKS, $WMH SELECT doc_id, seed, minhash FROM wmh",
+    "q_wjaccard_pairs" ->
+      s"""WITH $TOKS, $WMH,
+         |wcap AS (SELECT doc_id, seed, minhash FROM wmh
+         |         QUALIFY count(*) OVER (PARTITION BY seed, minhash) <= 50),
+         |wcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM wcap a JOIN wcap b
+         |          ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id),
+         |wagr AS (SELECT c.doc_a, c.doc_b,
+         |                sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS agree
+         |         FROM wcand c
+         |         JOIN wmh a ON a.doc_id = c.doc_a
+         |         JOIN wmh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+         |         GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(agree / 8.0, 6) AS wjaccard
+         |FROM wagr WHERE agree / 8.0 >= 0.25""".stripMargin,
+    "q_xml_ingest" ->
+      """SELECT doc_id AS id, 1::BIGINT AS post_type_id, n_chars AS score,
+        |       lang || ' ' || source AS title, length(text)::BIGINT AS text_len,
+        |       md5(text) AS h
+        |FROM documents""".stripMargin,
+    "q_xml_questions" ->
+      """SELECT q.doc_id AS id, q.lang || ' ' || q.source AS title,
+        |       count(a.doc_id)::BIGINT AS n_answers,
+        |       coalesce(min(a.doc_id), -1)::BIGINT AS first_aid,
+        |       length(q.text)::BIGINT AS body_len,
+        |       coalesce(sum(length(a.text)), 0)::BIGINT AS ans_len
+        |FROM documents q
+        |LEFT JOIN documents a
+        |  ON a.doc_id % 5 <> 0 AND a.doc_id - (a.doc_id % 5) = q.doc_id
+        |WHERE q.doc_id % 5 = 0
+        |GROUP BY 1, 2, 5""".stripMargin,
     "q_cosine_topk" ->
       s"""WITH $E, $NRM,
          |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cid, sum(q.x * c.x) AS dot

@@ -1,0 +1,209 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TextExtract
+
+/** Posts.xml ingest — the Spark-native replacement for the reference's
+  * serial `etree.iterparse` XML reader (reference: dataprocess/parser.py:71-89).
+  *
+  * StackExchange-style dumps put exactly one `<row .../>` element per line,
+  * so the natural Spark source is `spark.read.textFile` (splittable by
+  * newline → every executor parses its own byte range; a 100 TB dump
+  * ingests as a normal distributed scan, where the reference streams one
+  * element at a time through a single process). Non-row lines (the
+  * `<?xml?>` header, `<posts>` wrapper, blank lines) are skipped, so the
+  * whole-file concatenation order never matters.
+  *
+  * The attribute scanner is a hand-rolled char loop (no java.util.regex in
+  * per-row executor paths — it anti-scales across threads on this host,
+  * see TextExtract.cleanText) and decodes the XML character references the
+  * dumps use: the five predefined entities plus decimal/hex numeric refs.
+  *
+  * Association semantics: the reference buffers every PostTypeId=2 row
+  * seen since the previous question and attaches that buffer to the NEXT
+  * question in stream order (parser.py:72-89) — an inherently serial
+  * iteration quirk. The Spark-first form attaches answers by their
+  * ParentId attribute (the association the data actually carries, same as
+  * the J4 answer↔question join); [[PostsXmlSpec]] pins both the parser and
+  * the attach on handwritten XML where the two semantics agree.
+  */
+object PostsXml {
+
+  /** One parsed `<row/>` element. Nullable dump attributes surface as
+    * Options (absent attribute → None), string fields as null-free empty
+    * defaults are NOT applied — absent Title stays null, matching the
+    * reference's attrib.get behavior. */
+  case class Post(id: Long, post_type_id: Long, parent_id: Option[Long],
+                  creation_date: String, score: Option[Long],
+                  owner_user_id: Option[Long], title: String, body: String,
+                  tags: String)
+
+  /** Decode XML character references: &lt; &gt; &amp; &quot; &apos; and
+    * &#NN; / &#xHH;. Unknown or unterminated references pass through
+    * literally (lenient, same policy as TextExtract.stripHtml). */
+  def decodeXml(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return s
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val decoded: String = body match {
+            case "lt" => "<"
+            case "gt" => ">"
+            case "amp" => "&"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _ if body.startsWith("#x") || body.startsWith("#X") =>
+              try String.valueOf(Integer.parseInt(body.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            case _ if body.startsWith("#") =>
+              try String.valueOf(Integer.parseInt(body.substring(1)).toChar)
+              catch { case _: Exception => null }
+            case _ => null
+          }
+          if (decoded != null) { out.append(decoded); i = semi + 1 }
+          else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Escape a string for use inside a double-quoted XML attribute.
+    * Newline/CR/tab become numeric refs (the StackExchange dump
+    * convention — literal attribute newlines would be normalized to
+    * spaces by conforming parsers, breaking round-trip identity). */
+  def escapeXml(s: String): String = {
+    if (s == null) return ""
+    val n = s.length
+    val out = new java.lang.StringBuilder(n + 16)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      c match {
+        case '&' => out.append("&amp;")
+        case '<' => out.append("&lt;")
+        case '>' => out.append("&gt;")
+        case '"' => out.append("&quot;")
+        case '\n' => out.append("&#xA;")
+        case '\r' => out.append("&#xD;")
+        case '\t' => out.append("&#x9;")
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Scan one line for a `<row ... />` element; return its attributes, or
+    * None for non-row lines (header, wrapper tags, blanks, malformed).
+    * Values are entity-decoded. */
+  def parseRowAttrs(line: String): Option[Map[String, String]] = {
+    if (line == null) return None
+    val n = line.length
+    var i = 0
+    while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+    if (!line.startsWith("<row", i)) return None
+    i += 4
+    if (i < n && !Character.isWhitespace(line.charAt(i)) &&
+      line.charAt(i) != '/' && line.charAt(i) != '>') return None // e.g. <rows>
+    val attrs = Map.newBuilder[String, String]
+    while (i < n) {
+      while (i < n && Character.isWhitespace(line.charAt(i))) i += 1
+      if (i >= n) return None // unterminated
+      val c = line.charAt(i)
+      if (c == '/' || c == '>') return Some(attrs.result())
+      // attribute name up to '='
+      val eq = line.indexOf('=', i)
+      if (eq < 0) return None
+      val name = line.substring(i, eq).trim
+      var j = eq + 1
+      while (j < n && Character.isWhitespace(line.charAt(j))) j += 1
+      if (j >= n || (line.charAt(j) != '"' && line.charAt(j) != '\'')) return None
+      val quote = line.charAt(j)
+      val end = line.indexOf(quote, j + 1)
+      if (end < 0) return None
+      attrs += name -> decodeXml(line.substring(j + 1, end))
+      i = end + 1
+    }
+    None
+  }
+
+  private def toPost(a: Map[String, String]): Option[Post] = {
+    def num(k: String): Option[Long] =
+      a.get(k).flatMap(v => try Some(v.toLong) catch { case _: Exception => None })
+    num("Id").map { id =>
+      Post(id, num("PostTypeId").getOrElse(0L), num("ParentId"),
+        a.getOrElse("CreationDate", null), num("Score"), num("OwnerUserId"),
+        a.getOrElse("Title", null), a.getOrElse("Body", null),
+        a.getOrElse("Tags", null))
+    }
+  }
+
+  /** Distributed Posts.xml scan → typed posts Dataset. */
+  def read(spark: SparkSession, path: String): Dataset[Post] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .flatMap(line => parseRowAttrs(line).flatMap(toPost))
+  }
+
+  /** Questions with their answers attached by ParentId, title/body cleaned
+    * — the Spark form of the reference's `preproccessAttributes` +
+    * answer-buffer iteration (parser.py:22-25,71-89). Questions are every
+    * non-answer row (the reference treats anything not PostTypeId=2 as a
+    * question); answers aggregate in (id asc) order so the output is
+    * deterministic under any partitioning.
+    * Output: (id, title, body, n_answers, answer_ids, answers). */
+  def questions(posts: Dataset[Post]): DataFrame = {
+    import posts.sparkSession.implicits._
+    val cleaned = posts.map { p =>
+      p.copy(title = TextExtract.cleanString(p.title),
+        body = TextExtract.cleanString(p.body))
+    }
+    val qs = cleaned.filter(_.post_type_id != 2L).toDF()
+      .select(col("id"), col("title"), col("body"))
+    val ans = cleaned.filter(p => p.post_type_id == 2L && p.parent_id.isDefined)
+      .toDF()
+      .select(col("parent_id").as("qid"), col("id").as("aid"), col("body").as("abody"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("aid"), col("abody")))).as("aa"))
+      .select(col("qid"),
+        transform(col("aa"), x => x.getField("aid")).as("answer_ids"),
+        transform(col("aa"), x => x.getField("abody")).as("answers"))
+    qs.join(ans, qs("id") === ans("qid"), "left")
+      .select(col("id"), col("title"), col("body"),
+        coalesce(size(col("answer_ids")), lit(0)).cast("long").as("n_answers"),
+        col("answer_ids"), col("answers"))
+  }
+
+  /** Render posts-shaped rows as `<row/>` lines (the round-trip writer the
+    * driver oracle and the specs use; escape ∘ parse = identity is the
+    * property under test). Expects columns (id, post_type_id, parent_id,
+    * score, title, body); null title/parent_id omit the attribute, like
+    * the dumps do. */
+  def render(posts: DataFrame): Dataset[String] = {
+    import posts.sparkSession.implicits._
+    posts.select(col("id").cast("long"), col("post_type_id").cast("long"),
+        col("parent_id").cast("long"), col("score").cast("long"),
+        col("title"), col("body"))
+      .as[(Long, Long, Option[Long], Option[Long], String, String)]
+      .map { case (id, ptype, parent, score, title, body) =>
+        val sb = new java.lang.StringBuilder(256)
+        sb.append("  <row Id=\"").append(id)
+          .append("\" PostTypeId=\"").append(ptype).append('"')
+        parent.foreach(p => sb.append(" ParentId=\"").append(p).append('"'))
+        score.foreach(s => sb.append(" Score=\"").append(s).append('"'))
+        if (title != null)
+          sb.append(" Title=\"").append(escapeXml(title)).append('"')
+        sb.append(" Body=\"").append(escapeXml(body)).append("\" />")
+        sb.toString
+      }
+  }
+}

@@ -382,4 +382,151 @@ object Dedup {
   def fingerprint(docs: DataFrame): DataFrame =
     shingles(docs).groupBy(col("doc_id"))
       .agg(min(md5s(col("shingle"))).as("fingerprint"))
+
+  // --- tf-weighted MinHash ---------------------------------------------
+
+  /** tf-WEIGHTED MinHash signature — the Spark-native analog of the
+    * reference's datasketch WeightedMinHash index (index/index.py:30-60;
+    * there the weights came from the out-of-scope NN encoder, here the
+    * natural corpus weights are term frequencies). Uses integer-weight
+    * replication: a doc is the multiset {(term, rep) : 0 ≤ rep < tf(term)},
+    * and plain MinHash over that expanded set estimates the WEIGHTED
+    * Jaccard  J_w(A,B) = Σ_t min(tf_A,tf_B) / Σ_t max(tf_A,tf_B)  exactly
+    * (for integer weights the expansion IS the multiset union/intersection).
+    * Hash input is "$seed:$rep:$term" — the two numeric prefixes make the
+    * encoding prefix-free, so distinct (seed, rep, term) triples never
+    * collide as strings.
+    *
+    * Scale: total replicated rows per doc = Σ_t tf = doc length, i.e. the
+    * SAME work as unweighted [[minhash]] does over token instances — the
+    * weighting is free. Output shape matches [[minhash]]:
+    * (doc_id, seed, minhash); empty docs have no signature. */
+  def weightedMinhash(docs: DataFrame, nSeeds: Int = 8,
+                      hash: HashMode = Md5Portable): DataFrame = hash match {
+    case Md5Portable => weightedMinhashColumnar(docs, nSeeds, hash)
+    case Xx64 => weightedMinhashFast(docs, nSeeds)
+  }
+
+  /** Column-function form of [[weightedMinhash]] — the md5 oracle shape
+    * (tf via groupBy + sequence explode mirrors the DuckDB twin's
+    * generate-series expansion) and the parity reference for the fast
+    * path. */
+  private[graft] def weightedMinhashColumnar(docs: DataFrame, nSeeds: Int = 8,
+                                             hash: HashMode = Md5Portable): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val reps = tf.select(col("doc_id"), col("term"),
+      explode(sequence(lit(0L), col("tf") - 1)).as("rep"))
+    val minima = (0 until nSeeds).map { sd =>
+      min(hashHex(concat(lit(s"$sd:"), col("rep").cast("string"), lit(":"),
+        col("term")), hash)).as(s"m$sd")
+    }
+    reps.groupBy(col("doc_id")).agg(minima.head, minima.tail: _*)
+      .select(col("doc_id"), posexplode(array((0 until nSeeds).map(sd => col(s"m$sd")): _*)))
+      .select(col("doc_id"), col("pos").cast("long").as("seed"),
+        col("col").as("minhash"))
+  }
+
+  /** Production fast path for [[weightedMinhash]] in [[Xx64]] mode —
+    * byte-identical to the columnar form (parity-tested), ZERO shuffle:
+    * tf comes from a per-doc HashMap (O(doc) state, the same map-side
+    * pre-merge trick as the index build's docTermFreqs), minima stay raw
+    * unsigned longs, and only the nSeeds winners are rendered as hex.
+    * The columnar form pays TWO shuffles (tf groupBy + signature groupBy)
+    * and renders a hex string per (instance × seed) — the same
+    * string-machinery tax that made [[minhashFast]] 15× faster. */
+  def weightedMinhashFast(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        var buf = new Array[Byte](64)
+        // "$sd:$rep:" prefix bytes, cached for rep < 64 (covers all but
+        // pathological tf; larger reps build the prefix on the fly)
+        val cache = Array.ofDim[Array[Byte]](nSeeds, 64)
+        def prefix(sd: Int, rep: Int): Array[Byte] =
+          if (rep < 64) {
+            var p = cache(sd)(rep)
+            if (p == null) { p = s"$sd:$rep:".getBytes(utf8); cache(sd)(rep) = p }
+            p
+          } else s"$sd:$rep:".getBytes(utf8)
+        it.flatMap { case (id, text) =>
+          val tf = new java.util.HashMap[String, Integer]()
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) tf.merge(t, 1, (a: Integer, b: Integer) => a + b)
+            i += 1
+          }
+          if (tf.isEmpty) Iterator.empty
+          else {
+            val mins = Array.fill(nSeeds)(-1L) // unsigned max
+            val e = tf.entrySet().iterator()
+            while (e.hasNext) {
+              val ent = e.next()
+              val tb = ent.getKey.getBytes(utf8)
+              val n = ent.getValue.intValue()
+              var rep = 0
+              while (rep < n) {
+                var sd = 0
+                while (sd < nSeeds) {
+                  val p = prefix(sd, rep)
+                  val len = p.length + tb.length
+                  if (buf.length < len) buf = new Array[Byte](len * 2)
+                  System.arraycopy(p, 0, buf, 0, p.length)
+                  System.arraycopy(tb, 0, buf, p.length, tb.length)
+                  val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                    .hashUnsafeBytes(buf,
+                      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+                  if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
+                  sd += 1
+                }
+                rep += 1
+              }
+            }
+            (0 until nSeeds).iterator.map { sd =>
+              val hx = java.lang.Long.toHexString(mins(sd))
+              (id, sd.toLong, "0" * (16 - hx.length) + hx)
+            }
+          }
+        }
+      }.toDF("doc_id", "seed", "minhash")
+  }
+
+  /** Weighted-Jaccard near-dup pairs from [[weightedMinhash]] signatures:
+    * candidates are docs sharing any (seed, minhash) bucket (the
+    * reference's l=1 LSH-forest probe shape, index/index.py:31-33), the
+    * estimate is the agreeing-seed fraction — an unbiased estimator of the
+    * weighted Jaccard. Bucket-size cap = the same 100 TB quadratic-output
+    * guard as [[lshPairs]]; the agreement join costs nSeeds rows per
+    * candidate pair, linear in the candidate set. The threshold predicate
+    * compares agree/nSeeds, a ratio of small integers — bit-deterministic
+    * across engines. */
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.25,
+                           nSeeds: Int = 8, maxBucket: Int = 50,
+                           hash: HashMode = Md5Portable): DataFrame = {
+    val sig = weightedMinhash(docs, nSeeds, hash)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed"), col("minhash"))
+    val capped = sig.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= maxBucket)
+    val cand = capped.select(col("seed"), col("minhash"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("seed"), col("minhash"), col("doc_id").as("doc_b")),
+        Seq("seed", "minhash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("seed"),
+        col("minhash").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("seed"),
+        col("minhash").as("mb")), Seq("doc_b", "seed"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("wjac_est", col("agree") * lit(1.0) / nSeeds)
+      .filter(col("wjac_est") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("wjac_est"), 6).as("wjaccard"))
+  }
 }

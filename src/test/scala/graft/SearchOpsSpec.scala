@@ -158,11 +158,46 @@ class SearchOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().sorted.toSeq
     assert(shFast == shCol, "shinglesFast diverged on adversarial corpus")
 
+    val wFast = Dedup.weightedMinhashFast(df)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val wCol = Dedup.weightedMinhashColumnar(df, hash = Dedup.Xx64)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(wFast == wCol, "weightedMinhashFast diverged on adversarial corpus")
+
     // the empty and sub-n docs really are absent (not present-with-garbage)
     val emptyIds = docs.filter(_._2.trim.isEmpty).map(_._1).toSet
     assert(emptyIds.nonEmpty)
     assert(mFast.forall(r => !emptyIds.contains(r._1)))
     assert(sFast.forall(r => !emptyIds.contains(r._1)))
+    assert(wFast.forall(r => !emptyIds.contains(r._1)))
+  }
+
+  test("weighted minhash: tf weighting separates docs the unweighted " +
+    "signature cannot, and exact duplicates still estimate 1.0") {
+    // A and B share the token SET {x, y} (unweighted Jaccard = 1) but have
+    // weighted Jaccard (min(3,1)+min(1,3))/(max(3,1)+max(1,3)) = 1/3
+    val df = Seq((1L, "x x x y"), (2L, "x y y y")).toDF("doc_id", "text")
+    for (h <- Seq[Dedup.HashMode](Dedup.Md5Portable, Dedup.Xx64)) {
+      val un = Dedup.minhash(df, nSeeds = 64, hash = h)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(r => r._2 -> r._3).toMap }
+      assert(un(1L) == un(2L), s"$h: same token set must share unweighted sig")
+      val w = Dedup.weightedMinhash(df, nSeeds = 64, hash = h)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(r => r._2 -> r._3).toMap }
+      val agree = (0L until 64L).count(sd => w(1L)(sd) == w(2L)(sd))
+      // estimator of 1/3 over 64 seeds: demand it is clearly separated
+      // from both 0 and the unweighted 1.0 (band is generous, the seeds
+      // are fixed so this is deterministic, not flaky)
+      assert(agree > 3 && agree < 43,
+        s"$h: weighted agreement $agree/64 not separating tf profiles")
+    }
+    // identical texts: identical weighted signatures → estimate exactly 1.0
+    val dup = Seq((1L, "a b b c"), (2L, "a b b c"), (3L, "z z q"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.weightedJaccardPairs(dup)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
   }
 
   test("jaccardPairs hot-shingle cap: corpus-wide boilerplate shingle " +
