@@ -56,7 +56,10 @@ object Main {
       val modes: Seq[(String, () => Long)] = Seq(
         "md5" -> (() => graft.ops.Dedup.minhash(d).count()),
         "x64c" -> (() => graft.ops.Dedup.minhashColumnar(d, hash = graft.ops.Dedup.Xx64).count()),
-        "xx64" -> (() => graft.ops.Dedup.minhash(d, hash = graft.ops.Dedup.Xx64).count()))
+        "xx64" -> (() => graft.ops.Dedup.minhash(d, hash = graft.ops.Dedup.Xx64).count()),
+        // weighted variants: columnar (two shuffles) vs typed zero-shuffle
+        "wx64c" -> (() => graft.ops.Dedup.weightedMinhashColumnar(d, hash = graft.ops.Dedup.Xx64).count()),
+        "wxx64" -> (() => graft.ops.Dedup.weightedMinhash(d, hash = graft.ops.Dedup.Xx64).count()))
       for (tag <- Seq("warm", "timed"); (name, f) <- modes) {
         val t0 = System.nanoTime()
         val c = f()
