@@ -223,12 +223,12 @@ object SparkEntry {
     * multi-term ranking, not a single-hit lookup. */
   val pagesQueryTerms: Seq[String] = Seq("w13", "w40", "w120", "timezone")
 
-  /** Fixed parquet export of the Spark-tokenized 1000-page synthetic corpus
-    * — the shared input of the q_pages_* DuckDB oracles. Deterministic
-    * (pure function of seed 42), idempotent overwrite; /tmp (not
-    * java.io.tmpdir, which Bench redirects) because the oracle SQL carries
-    * the literal path. */
-  private val PagesExportDir = "/tmp/graft_pages_export_v1"
+  /** Per-process parquet export of the Spark-tokenized 1000-page synthetic
+    * corpus — the shared input of the q_pages_* DuckDB oracles.
+    * Deterministic (pure function of seed 42), idempotent overwrite;
+    * PID-suffixed via [[graft.core.ExportRoot]] so concurrent sessions
+    * cannot race on one directory. */
+  private val PagesExportDir = graft.core.ExportRoot.dir("pages_export")
   private def exportPagesTokens(s: SparkSession): Unit = {
     val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), BuildParams(numShards = 1))
     IndexBuild.termFreqs(tok)
@@ -237,11 +237,11 @@ object SparkEntry {
       .coalesce(1).write.mode("overwrite").parquet(PagesExportDir)
   }
 
-  /** Literal /tmp exports of the documents table rendered as Posts.xml
-    * lines — the q_xml_* round-trip inputs (same single-driver export
-    * contract as [[PagesExportDir]]). */
-  private val XmlExportDir = "/tmp/graft_xml_export_v1"
-  private val XmlQExportDir = "/tmp/graft_xmlq_export_v1"
+  /** Per-process exports of the documents table rendered as Posts.xml
+    * lines — the q_xml_* round-trip inputs (same export contract as
+    * [[PagesExportDir]]). */
+  private val XmlExportDir = graft.core.ExportRoot.dir("xml_export")
+  private val XmlQExportDir = graft.core.ExportRoot.dir("xmlq_export")
 
   /** Render every document as a question `<row/>`, re-ingest through
     * [[PostsXml.read]], and emit per-row identity evidence (lengths +

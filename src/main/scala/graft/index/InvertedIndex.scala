@@ -140,10 +140,20 @@ object InvertedIndex {
     // — measured 6× the cost of re-running the typed tokenizer. Reused
     // intermediates are materialized to scratch Parquet instead (also the
     // only pattern that works at 100 TB).
+    // The scratch is partitioned by (shard, smp) where smp marks the
+    // deterministic 1/SampleMod hot-term sample docs: the sketch job below
+    // then PRUNES to the sample files instead of decoding the tokens column
+    // of the whole corpus to keep 5% of it — one full tokens-column read
+    // saved per build, at the cost of one extra directory level. smp uses
+    // the same xxhash64(doc_id) expression as the filter used to, so the
+    // sampled doc set — hence the sketch, the salting, and every block —
+    // is unchanged.
     val scratch = s"$dir/_scratch_tok"
     phaseTimed("tokenize+scratch")(IndexBuild.tokenize(pages, p)
       .filter($"shard".isin(todo: _*))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(scratch))
+      .withColumn("smp",
+        (pmod(xxhash64($"doc_id"), lit(SampleMod)) === 0).cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard", "smp").parquet(scratch))
     val tokenized = spark.read.parquet(scratch)
 
     import scala.concurrent.{Await, Future}
@@ -164,7 +174,7 @@ object InvertedIndex {
     // (Σtf ≥ df upper-bounds the posting count, which is what salting must
     // bound), scaled back up. ~|vocab| groups → map-side partial agg.
     val hotDfF = Future(phaseTimed("hot-term-sample")(tokenized
-      .filter(pmod(xxhash64($"doc_id"), lit(SampleMod)) === 0)
+      .filter($"smp" === 1) // partition-pruned: reads only the sample files
       .select(explode($"tokens").as("term"))
       .groupBy($"term")
       .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))

@@ -462,20 +462,18 @@ object Multimodal {
     }
   }
 
-  /** Fixed parquet export of the per-media decode/feature rows — the
+  /** Per-process parquet export of the per-media decode/feature rows — the
     * DuckDB oracle's input (the same export pattern as the q_pages_*
-    * tokenized-pages parquet). Literal /tmp path (not java.io.tmpdir,
-    * which Bench redirects) because the static oracle SQL carries it.
+    * tokenized-pages parquet). PID-suffixed via [[graft.core.ExportRoot]]
+    * so concurrent sessions on one machine cannot race on the directory;
+    * `summary()` still overwrites it on every call WITHIN a process, which
+    * is fine (last write wins, same rows — the export is deterministic).
     *
-    * SINGLE-DRIVER ASSUMPTION: `summary()` overwrites this shared path on
-    * every call, so two concurrent sessions on one machine would race on
-    * it. That is the driver-harness contract (one Verify/Bench process at
-    * a time — the same contract PagesExportDir relies on), not a library
-    * guarantee; and because the DuckDB twin reads rows Spark wrote here,
-    * only the final roll-up is independently verified — decode correctness
-    * rests on the codec specs (PNG pixel parity vs javax.imageio, DIB/WAV
-    * round-trips), by design. */
-  val ExportDir = "/tmp/graft_media_export_v1"
+    * Because the DuckDB twin reads rows Spark wrote here, only the final
+    * roll-up is independently verified — decode correctness rests on the
+    * codec specs (PNG pixel parity vs javax.imageio, DIB/WAV round-trips),
+    * by design. */
+  val ExportDir = graft.core.ExportRoot.dir("media_export")
 
   /** Per-kind decode summary + mean feature mass (the q_multimodal query —
     * exercises decode + features + agg end-to-end). The per-media
