@@ -22,13 +22,16 @@ import org.apache.spark.sql.functions._
   * format bytes and malformed-input paths are testable by corruption.
   *
   * Video rows are REAL AVI files (RIFF container: hdrl LIST with avih main
-  * header + strl stream header for an uncompressed-DIB 'vids' stream, movi
-  * LIST with one '00db' chunk per frame, word-aligned) — the demux
+  * header + strl stream header for a 'vids' stream, movi LIST with one
+  * word-aligned chunk per frame) in BOTH common frame codecs — the demux
   * ([[decodeAvi]]) walks genuine format bytes exactly like the WAV path
-  * walks RIFF/WAVE, and the per-frame payloads are REAL BI_RGB
+  * walks RIFF/WAVE, and the pixel decoder follows the stream header's
+  * biCompression: uncompressed BI_RGB '00db' chunks are REAL
   * device-independent bitmaps (24-bit BGR, bottom-up rows padded to 4
-  * bytes) pixel-decoded by [[decodeDib]] — so video features and frame
-  * sampling run on actual pixels end-to-end, like the PNG path.
+  * bytes, [[decodeDib]]), MJPG '00dc' chunks are REAL baseline JPEGs
+  * ([[decodeJpegGray]], via the JDK's public javax.imageio codec) — so
+  * video features and frame sampling run on actual pixels end-to-end,
+  * like the PNG path.
   */
 object Multimodal {
 
@@ -190,7 +193,8 @@ object Multimodal {
 
   // ---------------------------------------------------------------------
   // AVI encode (generator) + demux — RIFF 'AVI ', avih/strl headers, movi
-  // '00db' uncompressed-DIB frame chunks — plus the DIB pixel codec.
+  // frame chunks ('00db' uncompressed DIB or '00dc' MJPG) — plus the DIB
+  // and JPEG frame pixel codecs.
   // ---------------------------------------------------------------------
 
   private def fourcc(s: String) = s.getBytes(StandardCharsets.US_ASCII)
@@ -251,47 +255,115 @@ object Multimodal {
     Some(out)
   }
 
-  /** Minimal real AVI: one uncompressed-DIB 'vids' stream, one '00db'
-    * chunk per frame. Headers are genuine (avih 56-byte main header,
-    * strh/strf stream pair with biCompression = BI_RGB); `frames` are
-    * GRAYSCALE PIXEL arrays (width·height each), packed to real DIB
-    * payloads by [[encodeDib]]. */
-  def encodeAvi(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
-    val dibs = frames.map(encodeDib(width, height, _))
-    val maxFrame = if (dibs.isEmpty) 0 else dibs.map(_.length).max
+  /** `strf.biCompression` value of an MJPG stream ('MJPG' as a
+    * little-endian fourcc); BI_RGB uncompressed is 0. */
+  val MjpgFourcc: Int = 0x47504A4D
+
+  /** Encode one grayscale frame (width·height, top-down) as a baseline
+    * JPEG via the JDK's public `javax.imageio` codec — the payload of an
+    * MJPG AVI '00dc' chunk. Deterministic for a given input on a given
+    * JDK (the writer embeds no timestamps). */
+  def encodeJpeg(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Decode one JPEG payload to top-down grayscale (band average when the
+    * stream is not already single-band), or None on malformed bytes or a
+    * dimension mismatch vs the stream header — the same total-function
+    * contract as [[decodeDib]]. Lossy: pixels are close to, not equal to,
+    * the encoder's input. */
+  def decodeJpegGray(width: Int, height: Int, jpeg: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      if (img == null || img.getWidth != width || img.getHeight != height) None
+      else {
+        val raster = img.getRaster
+        val nb = raster.getNumBands
+        val out = new Array[Byte](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            var s = 0; var b = 0
+            while (b < nb) { s += raster.getSample(x, y, b); b += 1 }
+            out(y * width + x) = (s / nb).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Shared AVI container writer: genuine avih 56-byte main header plus a
+    * strh/strf stream pair whose handler/compression describe the frame
+    * codec; one word-aligned movi chunk per frame payload. */
+  private def aviContainer(width: Int, height: Int, payloads: Array[Array[Byte]],
+                           handler: String, biCompression: Int, sizeImage: Int,
+                           chunkTag: String): Array[Byte] = {
+    val maxFrame = if (payloads.isEmpty) 0 else payloads.map(_.length).max
     val avih = le32(33333) ++ le32(maxFrame * 30) ++ le32(0) ++ le32(0) ++
-      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(payloads.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
       le32(width) ++ le32(height) ++ new Array[Byte](16)
-    val strh = fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
-      le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(frames.length) ++
+    val strh = fourcc("vids") ++ fourcc(handler) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(payloads.length) ++
       le32(maxFrame) ++ le32(-1) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(width) ++ le16(height) // rcFrame
     val strf = le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
-      le32(0) /* BI_RGB */ ++ le32(dibStride(width) * height) ++ le32(0) ++
+      le32(biCompression) ++ le32(sizeImage) ++ le32(0) ++
       le32(0) ++ le32(0) ++ le32(0)
     val hdrl = riffList("hdrl",
       riffChunk("avih", avih) ++
         riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
     val movi = riffList("movi",
-      dibs.flatMap(f => riffChunk("00db", f)))
+      payloads.flatMap(f => riffChunk(chunkTag, f)))
     val body = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal real AVI: one uncompressed-DIB 'vids' stream, one '00db'
+    * chunk per frame. Headers are genuine (avih 56-byte main header,
+    * strh/strf stream pair with biCompression = BI_RGB); `frames` are
+    * GRAYSCALE PIXEL arrays (width·height each), packed to real DIB
+    * payloads by [[encodeDib]]. */
+  def encodeAvi(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] =
+    aviContainer(width, height, frames.map(encodeDib(width, height, _)),
+      "DIB ", 0 /* BI_RGB */, dibStride(width) * height, "00db")
+
+  /** Motion-JPEG AVI: same genuine container, but each frame is a real
+    * baseline JPEG in a '00dc' (compressed) chunk and the stream headers
+    * declare the MJPG codec — the common compressed-AVI layout. */
+  def encodeAviMjpg(width: Int, height: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    val jpegs = frames.map(encodeJpeg(width, height, _))
+    aviContainer(width, height, jpegs, "MJPG", MjpgFourcc,
+      if (jpegs.isEmpty) 0 else jpegs.map(_.length).max, "00dc")
   }
 
   /** Real AVI demux: (width, height, frame chunks) or None if malformed.
     * Walks the RIFF tree, reads avih for dimensions/frame count, collects
     * the movi LIST's '..dc'/'..db' chunks, and cross-checks the header's
     * TotalFrames against the chunks actually present. Frame payloads are
-    * the raw chunk bytes (DIBs for the generator's streams) — use
+    * the raw chunk bytes (DIBs or JPEGs per the stream header) — use
     * [[decodeAviPixels]] for the pixel-decoded form. */
-  def decodeAvi(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] = {
+  def decodeAvi(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
+    demuxAvi(b).map { case (w, h, _, frames) => (w, h, frames) }
+
+  /** Demux plus the strf.biCompression fourcc (0 = BI_RGB, [[MjpgFourcc]]
+    * = MJPG) so the pixel decoder can pick the frame codec. */
+  private def demuxAvi(b: Array[Byte]): Option[(Int, Int, Int, Array[Array[Byte]])] = {
     try {
       def tag(o: Int) = new String(b, o, 4, StandardCharsets.US_ASCII)
       def u16(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
       def u32(o: Int) = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
         ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
       if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
-      var w = -1; var h = -1; var totalFrames = -1
+      var w = -1; var h = -1; var totalFrames = -1; var comp = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       def walk(start: Int, end: Int): Unit = {
         var off = start
@@ -304,6 +376,8 @@ object Multimodal {
               if (len < 56) throw new RuntimeException("short avih")
               totalFrames = u32(off + 8 + 16)
               w = u32(off + 8 + 32); h = u32(off + 8 + 36)
+            case "strf" => // BITMAPINFOHEADER: biCompression at byte 16
+              if (len >= 20) comp = u32(off + 8 + 16)
             case dc if dc.length == 4 &&
               (dc.endsWith("dc") || dc.endsWith("db")) &&
               dc.take(2).forall(_.isDigit) =>
@@ -315,16 +389,23 @@ object Multimodal {
       }
       walk(12, 12 + math.min(u32(4) - 4, b.length - 12))
       if (w <= 0 || h <= 0 || frames.isEmpty || frames.length != totalFrames) None
-      else Some((w, h, frames.toArray))
+      else Some((w, h, comp, frames.toArray))
     } catch { case _: Exception => None }
   }
 
-  /** Demux + pixel-decode: (width, height, top-down grayscale frames) —
-    * every '00db' DIB payload must decode against the header dimensions,
-    * or the whole file is malformed (None). */
+  /** Demux + pixel-decode: (width, height, top-down grayscale frames).
+    * The frame codec follows the stream header's biCompression — BI_RGB
+    * chunks through [[decodeDib]], MJPG chunks through [[decodeJpegGray]];
+    * an unknown codec, or any payload that fails against the header
+    * dimensions, makes the whole file malformed (None). */
   def decodeAviPixels(b: Array[Byte]): Option[(Int, Int, Array[Array[Byte]])] =
-    decodeAvi(b).flatMap { case (w, h, chunks) =>
-      val px = chunks.map(decodeDib(w, h, _))
+    demuxAvi(b).flatMap { case (w, h, comp, chunks) =>
+      val dec: Array[Byte] => Option[Array[Byte]] = comp match {
+        case 0          => decodeDib(w, h, _)
+        case MjpgFourcc => decodeJpegGray(w, h, _)
+        case _          => _ => None
+      }
+      val px = chunks.map(dec)
       if (px.exists(_.isEmpty)) None else Some((w, h, px.map(_.get)))
     }
 
@@ -356,15 +437,17 @@ object Multimodal {
           val rate = 8000 * (1 + Math.floorMod(h >>> 8, 5L).toInt)
           val ch = 1 + Math.floorMod(h >>> 16, 2L).toInt
           encodeWav(rate, ch, payload(ch * (64 + Math.floorMod(h >>> 32, 192L).toInt)))
-        case _ => // video: real AVI container with real DIB pixel frames
+        case _ => // video: real AVI container, DIB or MJPG frame codec
           val w = 16 + Math.floorMod(h >>> 8, 64L).toInt
           val hgt = 16 + Math.floorMod(h >>> 16, 64L).toInt
           val nFrames = 1 + Math.floorMod(h >>> 24, 8L).toInt
           val fs = w * hgt // one grayscale frame
           val p = payload(nFrames * fs)
-          encodeAvi(w, hgt,
-            Array.tabulate(nFrames)(f =>
-              java.util.Arrays.copyOfRange(p, f * fs, (f + 1) * fs)))
+          val frames = Array.tabulate(nFrames)(f =>
+            java.util.Arrays.copyOfRange(p, f * fs, (f + 1) * fs))
+          // half the corpus per codec, so both decode paths run end-to-end
+          if (((h >>> 40) & 1L) == 0L) encodeAvi(w, hgt, frames)
+          else encodeAviMjpg(w, hgt, frames)
       }
       Media(i, kinds(kind), blob)
     })

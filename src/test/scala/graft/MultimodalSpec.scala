@@ -169,6 +169,52 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.encodeDib(20, 20, gray)).get.sameElements(gray))
   }
 
+  test("MJPG AVI round-trip: '00dc' JPEG frames decode within lossy " +
+    "tolerance; corrupt JPEG bytes and unknown codecs fail cleanly") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 5) {
+      val w = 16 + rnd.nextInt(48); val h = 16 + rnd.nextInt(48)
+      // smooth gradient frames: JPEG error stays small and bounded
+      val base = rnd.nextInt(128)
+      val frames = Array.tabulate(1 + rnd.nextInt(4))(f =>
+        Array.tabulate[Byte](w * h)(i => ((base + f * 7 + i / w) & 0xFF).toByte))
+      val avi = Multimodal.encodeAviMjpg(w, h, frames)
+      val Some((dw, dh, dframes)) = Multimodal.decodeAviPixels(avi)
+      assert(dw == w && dh == h && dframes.length == frames.length)
+      frames.zip(dframes).foreach { case (a, b) =>
+        val maxErr = a.zip(b).map { case (x, y) =>
+          math.abs((x & 0xFF) - (y & 0xFF)) }.max
+        assert(maxErr <= 12, s"JPEG round-trip error $maxErr > 12")
+      }
+      // raw demux still works and the chunks are genuine JPEGs (SOI marker)
+      val Some((_, _, chunks)) = Multimodal.decodeAvi(avi)
+      assert(chunks.forall(c => (c(0) & 0xFF) == 0xFF && (c(1) & 0xFF) == 0xD8))
+      // container-level damage fails exactly like the DIB path
+      assert(Multimodal.decodeAvi(avi.take(avi.length / 2)).isEmpty)
+    }
+    // a destroyed JPEG signature makes the frame — hence the file — malformed
+    val good = Multimodal.encodeJpeg(20, 20, Array.fill[Byte](400)(77))
+    assert(Multimodal.decodeJpegGray(20, 20, good).isDefined)
+    val noSig = good.clone(); noSig(0) = 0; noSig(1) = 0
+    assert(Multimodal.decodeJpegGray(20, 20, noSig).isEmpty)
+    // dimension mismatch vs the stream header is malformed
+    assert(Multimodal.decodeJpegGray(21, 20, good).isEmpty)
+    // an UNKNOWN biCompression demuxes but refuses pixel decode
+    val mj = Multimodal.encodeAviMjpg(20, 20, Array(Array.fill[Byte](400)(9)))
+    val strf = mj.indexOfSlice("strf".getBytes)
+    val alien = mj.clone(); alien(strf + 8 + 16) = 'X'
+    assert(Multimodal.decodeAvi(alien).isDefined)
+    assert(Multimodal.decodeAviPixels(alien).isEmpty)
+    // and the synthetic corpus actually carries both frame codecs
+    val vids = Multimodal.synthMedia(spark, 60, 42L).collect()
+      .filter(_.kind == "video")
+    val nMjpg = vids.count { v =>
+      val Some((_, _, chunks)) = Multimodal.decodeAvi(v.blob)
+      (chunks(0)(0) & 0xFF) == 0xFF // JPEG SOI vs DIB pixel byte
+    }
+    assert(nMjpg > 0 && nMjpg < vids.length)
+  }
+
   test("decode parses every synthetic blob; malformed blobs degrade to valid=false") {
     val media = Multimodal.synthMedia(spark, 500, 42L)
     val meta = Multimodal.decode(media)
