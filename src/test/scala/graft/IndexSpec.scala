@@ -214,4 +214,28 @@ class IndexSpec extends SparkSpec {
           s"overlap: ${x.term} [${x.salt}/${x.block_id}] ${x.last_doc} >= ${y.first_doc}")
     }
   }
+
+  test("hot-term sample scan partition-prunes to the smp=1 files") {
+    // replicate the build's scratch shape (tokenize step writes
+    // partitionBy(shard, smp); the sketch job filters smp === 1): the
+    // filter must land in PartitionFilters — directory pruning — NOT as a
+    // row filter that still decodes every file's tokens column.
+    val dir = tmpDir("scratch-prune")
+    spark.range(500).select($"id".as("doc_id"),
+        array(lit("a"), lit("b")).as("tokens"),
+        pmod($"id", lit(2)).as("shard"),
+        (pmod(xxhash64($"id"), lit(InvertedIndex.SampleMod)) === 0)
+          .cast("int").as("smp"))
+      .write.mode("overwrite").partitionBy("shard", "smp").parquet(dir)
+    val scan = spark.read.parquet(dir).filter($"smp" === 1)
+      .select(explode($"tokens").as("term"))
+    val plan = scan.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("smp")),
+      s"smp not in PartitionFilters:\n$plan")
+    // pruned row count matches the deterministic sample the build expects
+    val expect = spark.range(500)
+      .filter(pmod(xxhash64($"id"), lit(InvertedIndex.SampleMod)) === 0).count()
+    assert(expect > 0 && scan.count() == expect * 2)
+  }
 }
