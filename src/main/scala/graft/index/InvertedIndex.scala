@@ -148,6 +148,13 @@ object InvertedIndex {
     // the same xxhash64(doc_id) expression as the filter used to, so the
     // sampled doc set — hence the sketch, the salting, and every block —
     // is unchanged.
+    // The leading underscore is deliberate: Hadoop/Spark path filters hide
+    // `_`-prefixed children, so no glob or recursive listing of $dir can
+    // ever pick the scratch up as data. Reading it EXPLICITLY still works
+    // (root paths are exempt from the hidden-path filter); the one
+    // "All paths were ignored" WARN Spark logs at that read is this
+    // existence-check quirk, not a failure — every build's corpus-agg
+    // numbers come from this read.
     val scratch = s"$dir/_scratch_tok"
     phaseTimed("tokenize+scratch")(IndexBuild.tokenize(pages, p)
       .filter($"shard".isin(todo: _*))
