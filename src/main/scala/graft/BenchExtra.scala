@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.InvertedIndex
+
+/** Optimization-round instrumentation main (guide §1: measure first) —
+  * NOT the driver bench. [[Bench]] stays the frozen measurement harness;
+  * this main exists so query-level work can be timed, plan-dumped and
+  * regression-hashed without touching it.
+  *
+  * Modes (first arg):
+  *   time [pattern...]    — per-query wall seconds via the same
+  *                          `.count()` action and session conf the bench
+  *                          suite uses; each query runs twice (cold, then
+  *                          warm) and per-query Spark-job counts/time come
+  *                          from a listener, so driver-side planning time
+  *                          (wall − job) is visible.
+  *   hash [pattern...]    — order-insensitive md5 of each query's collected
+  *                          rows → stdout + /tmp/graft_qhash.txt; any
+  *                          restructured query must keep its hash.
+  *   explain <tag> [pat…] — `.explain("formatted")` of each query to
+  *                          plans/r06/<query>_<tag>.txt.
+  */
+object BenchExtra {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("time")
+    val pats = args.drop(if (mode == "explain") 2 else 1)
+    val tag = if (mode == "explain") args(1) else ""
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    val shm = "/dev/shm/graft_bextra"
+    InvertedIndex.deleteDir(shm)
+    new java.io.File(s"$shm/tmp").mkdirs()
+    sys.props("java.io.tmpdir") = s"$shm/tmp"
+
+    // identical conf to Bench.session(cpus) — the suite's environment
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-benchextra")
+      .config("spark.local.dir", s"$shm/spark_local")
+      .config("spark.sql.shuffle.partitions", 2 * cpus)
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    // per-query job accounting: jobs started while a query is the active
+    // one are attributed to it (single-threaded driver loop, so no races)
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); jobStart.put(e.jobId, System.nanoTime())
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.remove(e.jobId)
+        if (t0 != 0L) jobNanos.addAndGet(System.nanoTime() - t0)
+      }
+    })
+
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      pats.isEmpty || pats.exists(n.contains)
+    }
+
+    mode match {
+      case "time" =>
+        var total1 = 0.0
+        var total2 = 0.0
+        println(f"${"query"}%-20s cold_s  warm_s  jobs  job_s")
+        selected.foreach { case (name, fn) =>
+          val (_, sec1) = time(fn(s, sfDir).count())
+          val j0 = jobs.get(); val jn0 = jobNanos.get()
+          val (_, sec2) = time(fn(s, sfDir).count())
+          val dj = jobs.get() - j0
+          val djs = (jobNanos.get() - jn0) / 1e9
+          total1 += sec1; total2 += sec2
+          println(f"$name%-20s $sec1%6.2f  $sec2%6.2f  $dj%4d  $djs%6.2f")
+        }
+        println(f"TOTAL cold=$total1%.2f warm=$total2%.2f")
+      case "hash" =>
+        val out = new StringBuilder
+        selected.foreach { case (name, fn) =>
+          val line = try {
+            val rows = fn(s, sfDir).collect()
+              .map(_.toSeq.map {
+                case d: Double => java.lang.Double.doubleToLongBits(d).toString
+                case x => String.valueOf(x)
+              }.mkString("")).sorted
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.foreach(r => md.update(r.getBytes("UTF-8")))
+            val hex = md.digest().map(b => f"$b%02x").mkString
+            s"$name rows=${rows.length} $hex"
+          } catch { case e: Throwable => s"$name FAILED ${e.getMessage}" }
+          println(line); out ++= line += '\n'
+        }
+        Files.writeString(Paths.get("/tmp/graft_qhash.txt"), out.toString)
+      case "explain" =>
+        Files.createDirectories(Paths.get("plans/r06"))
+        selected.foreach { case (name, fn) =>
+          val plan = fn(s, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          Files.writeString(Paths.get(s"plans/r06/${name}_$tag.txt"), plan)
+          println(s"wrote plans/r06/${name}_$tag.txt")
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    s.stop()
+  }
+}

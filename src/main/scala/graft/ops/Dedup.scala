@@ -48,6 +48,110 @@ object Dedup {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  // ---- typed signature kernel (shared by the fast paths of BOTH modes) ---
+
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** First 8 digest bytes as a big-endian long — unsigned order on this
+    * long IS lexicographic order on the digest's lowercase 16-hex-char
+    * prefix, so minima can stay raw longs until the winner is rendered. */
+  private def prefix64(d: Array[Byte]): Long =
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+
+  /** Zero-padded lowercase 16-hex render — the exact bytes the Column forms
+    * emit (md5-hex prefix / lpad(hex(xxhash64))). */
+  private def hex16(h: Long): String = {
+    val hx = java.lang.Long.toHexString(h)
+    "0" * (16 - hx.length) + hx
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Full lowercase 32-hex render of a 16-byte digest (the band/prefix
+    * hashes are FULL md5 hex in Md5Portable mode). */
+  private def hex32(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Per-doc md5 seed minima over tokens of `text` (hash input
+    * "$sd:$token"), kept as unsigned 64-bit digest prefixes. Returns null
+    * for docs with no tokens — identical empty-doc semantics to the Column
+    * forms. `md`/`dig` are per-partition scratch (MessageDigest.digest into
+    * a reused 16-byte buffer — no allocation per hash). */
+  private def md5Minima(text: String, prefixes: Array[Array[Byte]],
+                        md: java.security.MessageDigest,
+                        dig: Array[Byte]): Array[Long] = {
+    val nSeeds = prefixes.length
+    val toks = if (text == null) Array.empty[String] else text.split(' ')
+    val mins = Array.fill(nSeeds)(-1L) // unsigned max
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        val tb = t.getBytes(UTF8)
+        var sd = 0
+        while (sd < nSeeds) {
+          md.reset()
+          md.update(prefixes(sd))
+          md.update(tb)
+          md.digest(dig, 0, 16)
+          val h = prefix64(dig)
+          if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
+          sd += 1
+        }
+      }
+      i += 1
+    }
+    if (any) mins else null
+  }
+
+  /** Growable per-partition byte scratch for the xx64 kernel. */
+  private final class Scratch { var buf = new Array[Byte](64) }
+
+  /** Per-doc xx64 seed minima (hash input "$sd:$token" through the same
+    * XXH64(seed=42) Spark's `xxhash64` uses). Returns null for empty docs. */
+  private def xx64Minima(text: String, prefixes: Array[Array[Byte]],
+                         sc: Scratch): Array[Long] = {
+    val nSeeds = prefixes.length
+    val toks = if (text == null) Array.empty[String] else text.split(' ')
+    val mins = Array.fill(nSeeds)(-1L) // unsigned max
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        val tb = t.getBytes(UTF8)
+        var sd = 0
+        while (sd < nSeeds) {
+          val p = prefixes(sd)
+          val len = p.length + tb.length
+          if (sc.buf.length < len) sc.buf = new Array[Byte](len * 2)
+          System.arraycopy(p, 0, sc.buf, 0, p.length)
+          System.arraycopy(tb, 0, sc.buf, p.length, tb.length)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(sc.buf,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+          if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
+          sd += 1
+        }
+      }
+      i += 1
+    }
+    if (any) mins else null
+  }
+
   /** Exact dedup groups: content hash → group size + canonical (min) id.
     *
     * Both modes key on a 128-bit digest: EXACT dedup merges groups by hash
@@ -80,11 +184,32 @@ object Dedup {
     * costs exactly one pass over the corpus. */
   def minhash(docs: DataFrame, nSeeds: Int = 8,
               hash: HashMode = Md5Portable): DataFrame = hash match {
-    case Md5Portable => minhashColumnar(docs, nSeeds, hash)
-    // the typed fast path IS the production xx64 route (byte-identical to
-    // the columnar form — parity-tested; measured 15× faster, see
-    // minhashFast)
+    // both modes route to zero-shuffle typed passes, byte-identical to
+    // their Column forms (parity-tested); the Column forms survive as the
+    // oracle shapes / parity references
+    case Md5Portable => minhashFastMd5(docs, nSeeds)
     case Xx64 => minhashFast(docs, nSeeds)
+  }
+
+  /** Typed fast path for [[minhash]] in [[Md5Portable]] mode —
+    * byte-identical to [[minhashColumnar]] (parity-tested): same md5 of
+    * "$sd:$token", minima compared as unsigned digest prefixes (≡
+    * lexicographic hex minima), same empty-doc semantics. Removes the
+    * per-(token × seed) hex-string render and `transform`/`array_min`
+    * machinery the Column form pays — the md5 twin of [[minhashFast]]. */
+  def minhashFastMd5(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = new Array[Byte](16)
+        val prefixes = Array.tabulate(nSeeds)(sd => s"$sd:".getBytes(UTF8))
+        it.flatMap { case (id, text) =>
+          val mins = md5Minima(text, prefixes, md, dig)
+          if (mins == null) Iterator.empty
+          else (0 until nSeeds).iterator.map(sd => (id, sd.toLong, hex16(mins(sd))))
+        }
+      }.toDF("doc_id", "seed", "minhash")
   }
 
   /** The Column-function form of [[minhash]] — the md5 oracle shape, and
@@ -124,49 +249,59 @@ object Dedup {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val prefixes = Array.tabulate(nSeeds)(sd =>
-          (sd.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var buf = new Array[Byte](64)
+        val prefixes = Array.tabulate(nSeeds)(sd => s"$sd:".getBytes(UTF8))
+        val sc = new Scratch
         it.flatMap { case (id, text) =>
-          val mins = Array.fill(nSeeds)(-1L) // unsigned max
-          var any = false
-          val toks = if (text == null) Array.empty[String] else text.split(' ')
-          var i = 0
-          while (i < toks.length) {
-            val t = toks(i)
-            if (t.nonEmpty) {
-              any = true
-              val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              var sd = 0
-              while (sd < nSeeds) {
-                val p = prefixes(sd)
-                val len = p.length + tb.length
-                if (buf.length < len) buf = new Array[Byte](len * 2)
-                System.arraycopy(p, 0, buf, 0, p.length)
-                System.arraycopy(tb, 0, buf, p.length, tb.length)
-                val h = org.apache.spark.sql.catalyst.expressions.XXH64
-                  .hashUnsafeBytes(buf,
-                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
-                if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
-                sd += 1
-              }
-            }
-            i += 1
-          }
-          if (!any) Iterator.empty // empty docs have no signature
-          else (0 until nSeeds).iterator.map { sd =>
-            val hx = java.lang.Long.toHexString(mins(sd))
-            (id, sd.toLong, "0" * (16 - hx.length) + hx)
-          }
+          val mins = xx64Minima(text, prefixes, sc)
+          if (mins == null) Iterator.empty // empty docs have no signature
+          else (0 until nSeeds).iterator.map(sd => (id, sd.toLong, hex16(mins(sd))))
         }
       }.toDF("doc_id", "seed", "minhash")
+  }
+
+  /** Typed fast path for the LSH-forest prefix relation (doc_id, r, ph),
+    * r = 1..nSeeds, ph = full md5 of the comma-joined minima hex strings of
+    * seeds 0..r−1 — byte-identical to MinHashSearch.prefixes ∘ md5-minhash
+    * (parity-tested) and ZERO-shuffle: prefixes are a function of the doc's
+    * own signature, so the crossJoin + per-depth collect_list groupBy
+    * machinery (36 shuffled rows per doc) collapses into one map pass. */
+  def minhashPrefixesFastMd5(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = new Array[Byte](16)
+        val prefixes = Array.tabulate(nSeeds)(sd => s"$sd:".getBytes(UTF8))
+        val sb = new java.lang.StringBuilder(nSeeds * 17)
+        it.flatMap { case (id, text) =>
+          val mins = md5Minima(text, prefixes, md, dig)
+          if (mins == null) Iterator.empty
+          else {
+            sb.setLength(0)
+            (1 to nSeeds).iterator.map { r =>
+              if (r > 1) sb.append(',')
+              sb.append(hex16(mins(r - 1)))
+              val joined = sb.toString.getBytes(UTF8)
+              md.reset(); md.update(joined); md.digest(dig, 0, 16)
+              (id, r.toLong, hex32(dig))
+            }
+          }
+        }
+      }.toDF("doc_id", "r", "ph")
   }
 
   /** LSH bands over the minhash signature: rows-per-band = 2, band hash =
     * hash of the band's minima concatenated in seed order (deterministic via
     * array_sort on (seed, minhash) structs). */
   def lshBands(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2,
-               hash: HashMode = Md5Portable): DataFrame = {
+               hash: HashMode = Md5Portable): DataFrame =
+    lshBandsFast(docs, nSeeds, rowsPerBand, hash)
+
+  /** The relational form of [[lshBands]] — the DuckDB oracle's shape and
+    * the parity reference for [[lshBandsFast]]. */
+  private[graft] def lshBandsColumnar(docs: DataFrame, nSeeds: Int = 8,
+                                      rowsPerBand: Int = 2,
+                                      hash: HashMode = Md5Portable): DataFrame = {
     val bandCol = array_join(
       transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
         x => x.getField("minhash")), ",")
@@ -174,10 +309,61 @@ object Dedup {
       case Md5Portable => md5s(bandCol) // full digest (pinned oracle shape)
       case Xx64 => hashHex(bandCol, Xx64)
     }
-    minhash(docs, nSeeds, hash)
+    minhashColumnar(docs, nSeeds, hash)
       .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
       .groupBy(col("doc_id"), col("band"))
       .agg(bandHash.as("band_hash"))
+  }
+
+  /** Typed fast path for [[lshBands]] — byte-identical to the relational
+    * form in BOTH modes (parity-tested) and ZERO-shuffle: a doc's bands are
+    * a function of its OWN signature, so the signature groupBy AND the band
+    * groupBy both disappear; one map pass emits (doc_id, band, band_hash)
+    * directly. Band hash input is the comma-join of the band's minima hex
+    * strings in seed order (what the array_sort(struct(seed, minhash))
+    * collect produces); Md5Portable hashes it with full-width md5, Xx64
+    * with xxhash64 rendered as padded hex. */
+  def lshBandsFast(docs: DataFrame, nSeeds: Int = 8, rowsPerBand: Int = 2,
+                   hash: HashMode = Md5Portable): DataFrame = {
+    import docs.sparkSession.implicits._
+    val isMd5 = hash == Md5Portable
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = new Array[Byte](16)
+        val prefixes = Array.tabulate(nSeeds)(sd => s"$sd:".getBytes(UTF8))
+        val sc = new Scratch
+        val sb = new java.lang.StringBuilder(nSeeds * 17)
+        it.flatMap { case (id, text) =>
+          val mins =
+            if (isMd5) md5Minima(text, prefixes, md, dig)
+            else xx64Minima(text, prefixes, sc)
+          if (mins == null) Iterator.empty
+          else {
+            val nBands = (nSeeds + rowsPerBand - 1) / rowsPerBand
+            (0 until nBands).iterator.map { b =>
+              sb.setLength(0)
+              var sd = b * rowsPerBand
+              val end = math.min(nSeeds, sd + rowsPerBand)
+              while (sd < end) {
+                if (sd > b * rowsPerBand) sb.append(',')
+                sb.append(hex16(mins(sd)))
+                sd += 1
+              }
+              val joined = sb.toString.getBytes(UTF8)
+              val bh =
+                if (isMd5) {
+                  md.reset(); md.update(joined); md.digest(dig, 0, 16)
+                  hex32(dig)
+                } else hex16(org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(joined,
+                    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                    joined.length, 42L))
+              (id, b.toLong, bh)
+            }
+          }
+        }
+      }.toDF("doc_id", "band", "band_hash")
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket.
@@ -379,9 +565,60 @@ object Dedup {
 
   /** Document fingerprint: lexicographic min MD5 over the doc's shingles
     * (a winnowing-style rolling-window fingerprint, window = whole doc). */
-  def fingerprint(docs: DataFrame): DataFrame =
-    shingles(docs).groupBy(col("doc_id"))
+  def fingerprint(docs: DataFrame): DataFrame = fingerprintFast(docs)
+
+  /** The relational form of [[fingerprint]] — parity reference (the oracle
+    * computes the same min over the SH CTE). */
+  private[graft] def fingerprintColumnar(docs: DataFrame): DataFrame =
+    shinglesColumnar(docs).groupBy(col("doc_id"))
       .agg(min(md5s(col("shingle"))).as("fingerprint"))
+
+  /** Typed fast path for [[fingerprint]] — byte-identical (parity-tested)
+    * and ZERO-shuffle: the min-md5 is a function of the doc's own shingle
+    * windows, so the shingle strings never leave the map task (no explode,
+    * no groupBy; min over duplicate shingles equals min over the set). */
+  def fingerprintFast(docs: DataFrame, n: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = new Array[Byte](16)
+        val best = new Array[Byte](16)
+        val sb = new java.lang.StringBuilder(128)
+        it.flatMap { case (id, text) =>
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.split(' ').filter(_.nonEmpty)
+          if (toks.length < n) Iterator.empty
+          else {
+            var anyBest = false
+            var i = 0
+            while (i <= toks.length - n) {
+              sb.setLength(0)
+              var k = 0
+              while (k < n) {
+                if (k > 0) sb.append(' ')
+                sb.append(toks(i + k))
+                k += 1
+              }
+              md.reset()
+              md.update(sb.toString.getBytes(UTF8))
+              md.digest(dig, 0, 16)
+              // unsigned lexicographic digest compare ≡ hex-string min
+              var cmp = 0
+              var j = 0
+              while (cmp == 0 && j < 16) {
+                cmp = (dig(j) & 0xFF) - (if (anyBest) best(j) & 0xFF else 0x100)
+                j += 1
+              }
+              if (cmp < 0) { System.arraycopy(dig, 0, best, 0, 16); anyBest = true }
+              i += 1
+            }
+            Iterator.single((id, hex32(best)))
+          }
+        }
+      }.toDF("doc_id", "fingerprint")
+  }
 
   // --- tf-weighted MinHash ---------------------------------------------
 
@@ -403,8 +640,70 @@ object Dedup {
     * (doc_id, seed, minhash); empty docs have no signature. */
   def weightedMinhash(docs: DataFrame, nSeeds: Int = 8,
                       hash: HashMode = Md5Portable): DataFrame = hash match {
-    case Md5Portable => weightedMinhashColumnar(docs, nSeeds, hash)
+    // both modes route to zero-shuffle typed passes (parity-tested); the
+    // Column form keeps two shuffles and survives as the oracle shape
+    case Md5Portable => weightedMinhashFastMd5(docs, nSeeds)
     case Xx64 => weightedMinhashFast(docs, nSeeds)
+  }
+
+  /** Typed fast path for [[weightedMinhash]] in [[Md5Portable]] mode —
+    * byte-identical to [[weightedMinhashColumnar]] (parity-tested), ZERO
+    * shuffle: tf from a per-doc HashMap, md5("$sd:$rep:$term") minima kept
+    * as unsigned digest prefixes, only the nSeeds winners rendered. Drops
+    * the columnar form's TWO shuffles (tf groupBy + signature groupBy) and
+    * its per-(instance × seed) hex render — the md5 twin of
+    * [[weightedMinhashFast]]. */
+  def weightedMinhashFastMd5(docs: DataFrame, nSeeds: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = new Array[Byte](16)
+        // "$sd:$rep:" prefix bytes, cached for rep < 64 (same cache shape
+        // as the xx64 fast path)
+        val cache = Array.ofDim[Array[Byte]](nSeeds, 64)
+        def prefix(sd: Int, rep: Int): Array[Byte] =
+          if (rep < 64) {
+            var p = cache(sd)(rep)
+            if (p == null) { p = s"$sd:$rep:".getBytes(UTF8); cache(sd)(rep) = p }
+            p
+          } else s"$sd:$rep:".getBytes(UTF8)
+        it.flatMap { case (id, text) =>
+          val tf = new java.util.HashMap[String, Integer]()
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          var i = 0
+          while (i < toks.length) {
+            val t = toks(i)
+            if (t.nonEmpty) tf.merge(t, 1, (a: Integer, b: Integer) => a + b)
+            i += 1
+          }
+          if (tf.isEmpty) Iterator.empty
+          else {
+            val mins = Array.fill(nSeeds)(-1L) // unsigned max
+            val e = tf.entrySet().iterator()
+            while (e.hasNext) {
+              val ent = e.next()
+              val tb = ent.getKey.getBytes(UTF8)
+              val n = ent.getValue.intValue()
+              var rep = 0
+              while (rep < n) {
+                var sd = 0
+                while (sd < nSeeds) {
+                  md.reset()
+                  md.update(prefix(sd, rep))
+                  md.update(tb)
+                  md.digest(dig, 0, 16)
+                  val h = prefix64(dig)
+                  if (java.lang.Long.compareUnsigned(h, mins(sd)) < 0) mins(sd) = h
+                  sd += 1
+                }
+                rep += 1
+              }
+            }
+            (0 until nSeeds).iterator.map(sd => (id, sd.toLong, hex16(mins(sd))))
+          }
+        }
+      }.toDF("doc_id", "seed", "minhash")
   }
 
   /** Column-function form of [[weightedMinhash]] — the md5 oracle shape

@@ -72,7 +72,9 @@ object Evaluate {
       MinHashSearch.queryTokens(q.query).map(t => (q.query_id, t)))
       .toDF("query_id", "qterm")
     val toks = TextOps.tokens(docs)
-    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    // per-doc token counts are a map-only pass (byte-identical to the
+    // groupBy form — long counts, exact sums), not a token-relation shuffle
+    val dl = TextOps.docLengthsFast(docs)
     val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
     val tf = toks.join(broadcast(qterms), $"term" === $"qterm")
       .groupBy($"query_id", $"doc_id", $"term").agg(count(lit(1)).as("tf"))

@@ -13,7 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the probe is an equi-join on (band, band_hash) — the LSH
   * bucket lookup — followed by a candidate-only Jaccard join; the corpus is
-  * never scanned per query.
+  * never scanned per query. The QUERY side (a handful of rows) is computed
+  * DRIVER-SIDE with the same md5 arithmetic — zero Spark jobs — and enters
+  * the plan as broadcast local relations; the document side runs the typed
+  * zero-shuffle signature passes (Dedup.lshBandsFast /
+  * minhashPrefixesFastMd5). Both sides are parity-covered: the driver-side
+  * signature math is asserted equal to the relational form in
+  * SearchOpsSpec, and the typed doc passes have their own Column-form
+  * parity tests.
   */
 object MinHashSearch {
 
@@ -32,11 +39,53 @@ object MinHashSearch {
     }.toDF("query_id", "term")
   }
 
+  // ---- driver-side query signature math (md5 mode, the oracle shape) ----
+
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF8)).map(b => f"$b%02x").mkString
+
+  /** Per-query minhash hex minima in seed order — the driver-side twin of
+    * `querySignatures` (min over tokens of substr(md5("$sd:$term"), 1, 16));
+    * a pure function of the query set, so it costs zero Spark jobs.
+    * Queries with no tokens have no signature (matching the relational
+    * form, whose groupBy has no rows for them). */
+  private[graft] def querySigLocal(queries: Seq[(Int, String)],
+                                   nSeeds: Int): Seq[(Long, Array[String])] =
+    queries.flatMap { case (id, q) =>
+      val toks = queryTokens(q)
+      if (toks.isEmpty) None
+      else Some(id.toLong -> Array.tabulate(nSeeds) { sd =>
+        toks.map(t => md5Hex(s"$sd:$t").substring(0, 16)).min
+      })
+    }
+
+  /** Driver-side band rows (query_id, band, band_hash) — the twin of
+    * banding [[querySigLocal]] signatures exactly like Dedup.lshBands. */
+  private[graft] def queryBandsLocal(queries: Seq[(Int, String)], nSeeds: Int,
+                                     rowsPerBand: Int): Seq[(Long, Long, String)] =
+    querySigLocal(queries, nSeeds).flatMap { case (id, hexes) =>
+      hexes.indices.groupBy(_ / rowsPerBand).toSeq.map { case (b, sds) =>
+        (id, b.toLong, md5Hex(sds.map(hexes).mkString(",")))
+      }
+    }
+
+  /** Driver-side prefix rows (query_id, r, ph), r = 1..nSeeds — the twin of
+    * [[prefixes]] over the query signatures. */
+  private[graft] def queryPrefixesLocal(queries: Seq[(Int, String)],
+                                        nSeeds: Int): Seq[(Long, Long, String)] =
+    querySigLocal(queries, nSeeds).flatMap { case (id, hexes) =>
+      (1 to nSeeds).map(r => (id, r.toLong, md5Hex(hexes.take(r).mkString(","))))
+    }
+
   private val md5s = (c: org.apache.spark.sql.Column) => md5(c.cast("binary"))
 
-  /** Query MinHash signatures (query_id, seed, minhash) — same construction
-    * as Dedup.minhash, so they join directly against document signatures. */
-  private def querySignatures(qt: DataFrame, nSeeds: Int): DataFrame =
+  /** Query MinHash signatures (query_id, seed, minhash) — the RELATIONAL
+    * form (same construction as Dedup.minhashColumnar); survives as the
+    * parity reference for [[querySigLocal]]. */
+  private[graft] def querySignatures(qt: DataFrame, nSeeds: Int): DataFrame =
     qt.crossJoin(broadcast(qt.sparkSession.range(nSeeds).toDF("seed")))
       .groupBy(col("query_id"), col("seed"))
       .agg(min(substring(md5s(
@@ -45,12 +94,17 @@ object MinHashSearch {
 
   /** Exact token-Jaccard of each (query_id, doc_id) candidate pair, with
     * candidates' extra columns carried through. The corpus side is joined
-    * only on candidate doc ids — never scanned per query. */
-  private def withJaccard(docs: DataFrame, qt: DataFrame,
+    * only on candidate doc ids — never scanned per query; the per-doc
+    * distinct-token relation and set sizes come from the typed zero-shuffle
+    * passes (set semantics are per-doc — no corpus-wide distinct()
+    * exchange). */
+  private def withJaccard(docs: DataFrame, qt: DataFrame, qsizes: Seq[(Long, Long)],
                           cand: DataFrame): DataFrame = {
-    val dtok = TextOps.tokens(docs).select(col("doc_id"), col("term")).distinct()
-    val dsize = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
-    val qsize = qt.groupBy(col("query_id")).agg(count(lit(1)).as("qn"))
+    import docs.sparkSession.implicits._
+    val dtok = TextOps.distinctTokensFast(docs)
+    val dsize = TextOps.tokenSetSizesFast(docs)
+      .select(col("doc_id"), col("n").as("dn"))
+    val qsize = broadcast(qsizes.toDF("query_id", "qn"))
     val inter = cand.select(col("query_id"), col("doc_id"))
       .join(dtok, "doc_id")
       .join(broadcast(qt), Seq("query_id", "term"))
@@ -58,10 +112,15 @@ object MinHashSearch {
     cand
       .join(inter, Seq("query_id", "doc_id"), "left")
       .na.fill(0L, Seq("i"))
-      .join(dsize, "doc_id").join(broadcast(qsize), "query_id")
+      .join(dsize, "doc_id").join(qsize, "query_id")
       .withColumn("jaccard",
         round(col("i") * lit(1.0) / (col("qn") + col("dn") - col("i")), 6))
   }
+
+  /** Distinct-token count per query — the driver-side `qsize` input of
+    * [[withJaccard]] (count over [[queryTokens]], which already dedups). */
+  private def querySizesLocal(queries: Seq[(Int, String)]): Seq[(Long, Long)] =
+    queries.map { case (id, q) => (id.toLong, queryTokens(q).length.toLong) }
 
   /** Top-k per query: LSH-band candidates re-ranked by exact Jaccard
     * (reference: index/index_new.py:65-72, fixed-band LSH).
@@ -69,19 +128,16 @@ object MinHashSearch {
   def search(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
              nSeeds: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val qt = queryTermsDF(spark, queries)
-    val qbands = querySignatures(qt, nSeeds)
-      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
-      .groupBy(col("query_id"), col("band"))
-      .agg(md5s(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash")), ",")).as("band_hash"))
+    val qbands = queryBandsLocal(queries, nSeeds, rowsPerBand)
+      .toDF("query_id", "band", "band_hash")
 
     val cand = Dedup.lshBands(docs, nSeeds, rowsPerBand)
       .join(broadcast(qbands), Seq("band", "band_hash"))
       .select(col("query_id"), col("doc_id")).distinct()
 
-    withJaccard(docs, qt, cand)
+    withJaccard(docs, qt, querySizesLocal(queries), cand)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("jaccard").desc, col("doc_id").asc)).cast("long"))
@@ -91,8 +147,9 @@ object MinHashSearch {
 
   /** Signature PREFIX hashes for every depth r = 1..nSeeds: ph(r) =
     * md5(minhash_0, …, minhash_{r−1}) — the relational form of a prefix
-    * tree: matching at depth r implies matching at every depth < r. */
-  private def prefixes(sig: DataFrame, idCol: String, nSeeds: Int): DataFrame =
+    * tree; survives as the parity reference for the typed doc pass
+    * (Dedup.minhashPrefixesFastMd5) and the driver-side query twin. */
+  private[graft] def prefixes(sig: DataFrame, idCol: String, nSeeds: Int): DataFrame =
     sig.crossJoin(broadcast(sig.sparkSession.range(1, nSeeds + 1).toDF("r")))
       .filter(col("seed") < col("r"))
       .groupBy(col(idCol), col("r"))
@@ -111,13 +168,14 @@ object MinHashSearch {
   def forestTopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int = 10,
                  nSeeds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val qt = queryTermsDF(spark, queries)
-    val qpre = prefixes(querySignatures(qt, nSeeds), "query_id", nSeeds)
-    val dpre = prefixes(Dedup.minhash(docs, nSeeds), "doc_id", nSeeds)
+    val qpre = queryPrefixesLocal(queries, nSeeds).toDF("query_id", "r", "ph")
+    val dpre = Dedup.minhashPrefixesFastMd5(docs, nSeeds)
     val cand = dpre.join(broadcast(qpre), Seq("r", "ph"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(max(col("r")).as("depth"))
-    withJaccard(docs, qt, cand)
+    withJaccard(docs, qt, querySizesLocal(queries), cand)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("depth").desc, col("jaccard").desc, col("doc_id").asc))

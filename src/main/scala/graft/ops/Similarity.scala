@@ -60,7 +60,13 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket per vector: bit j = (round(x·w_j, 6) > 0).
     * Output: (vec_id, bucket). */
-  def annBuckets(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+  def annBuckets(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64): DataFrame =
+    annBucketsFast(emb, nPlanes, dims)
+
+  /** The relational form of [[annBuckets]] — the DuckDB oracle's shape and
+    * the parity reference for the typed pass. */
+  private[graft] def annBucketsColumnar(emb: DataFrame, nPlanes: Int = 8,
+                                        dims: Int = 64): DataFrame = {
     val e = emb.select(col("vec_id"), posexplode(asDouble(col("embedding"))))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"), col("col").as("x"))
     e.join(broadcast(planes(emb.sparkSession, nPlanes, dims)), "i")
@@ -70,6 +76,53 @@ object Similarity {
       .agg(sum(when(col("d") > 0,
         expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
         .as("bucket"))
+  }
+
+  /** Driver-side hyperplane weights — w(j)(i−1) = hexdigit(md5("j:i")) − 7.5,
+    * the exact values [[planes]] computes relationally. */
+  private[graft] def planesLocal(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dims) { (j, i0) =>
+      md.reset()
+      val d = md.digest(s"$j:${i0 + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) >> 4) & 0xF) - 7.5
+    }
+  }
+
+  /** Typed fast path for [[annBuckets]] — byte-identical to the relational
+    * form (parity-tested) and ZERO-shuffle: a vector's bucket is a function
+    * of its own components, so the explode + plane join + two aggregations
+    * collapse into one map pass against a driver-computed weight table.
+    * The dot product accumulates in ascending dimension order — the same
+    * order the posexplode feeds the hash aggregate — and rounds with the
+    * identical BigDecimal HALF_UP arithmetic Spark's `round` uses, so the
+    * sign decisions are bit-identical. */
+  def annBucketsFast(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = planesLocal(nPlanes, dims)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          // empty/null embeddings have no bucket (the explode emits no rows)
+          if (v == null || v.isEmpty) Iterator.empty
+          else {
+            val n = math.min(dims, v.length)
+            var bucket = 0L
+            var j = 0
+            while (j < nPlanes) {
+              val wj = w(j)
+              var s = 0.0
+              var i = 0
+              while (i < n) { s += v(i).toDouble * wj(i); i += 1 }
+              val d = java.math.BigDecimal.valueOf(s)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (d > 0) bucket |= 1L << j
+              j += 1
+            }
+            Iterator.single((id, bucket))
+          }
+        }
+      }.toDF("vec_id", "bucket")
   }
 
   /** Bucketed ANN: per query (vec_id < nQueries), top-k by cosine among

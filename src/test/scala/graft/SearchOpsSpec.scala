@@ -164,12 +164,106 @@ class SearchOpsSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().sorted.toSeq
     assert(wFast == wCol, "weightedMinhashFast diverged on adversarial corpus")
 
+    // --- md5-mode typed fast paths (the routes behind the DECLARED
+    // queries since r6) — byte-identical to their Column forms -----------
+    val mdFast = Dedup.minhashFastMd5(df)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val mdCol = Dedup.minhashColumnar(df, hash = Dedup.Md5Portable)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(mdFast == mdCol, "minhashFastMd5 diverged on adversarial corpus")
+
+    val wmdFast = Dedup.weightedMinhashFastMd5(df)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val wmdCol = Dedup.weightedMinhashColumnar(df, hash = Dedup.Md5Portable)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(wmdFast == wmdCol, "weightedMinhashFastMd5 diverged")
+
+    for (h <- Seq[Dedup.HashMode](Dedup.Md5Portable, Dedup.Xx64)) {
+      val bFast = Dedup.lshBandsFast(df, hash = h)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val bCol = Dedup.lshBandsColumnar(df, hash = h)
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(bFast == bCol, s"lshBandsFast($h) diverged on adversarial corpus")
+    }
+    // odd band split (nSeeds not a multiple of rowsPerBand)
+    val b3Fast = Dedup.lshBandsFast(df, nSeeds = 8, rowsPerBand = 3)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val b3Col = Dedup.lshBandsColumnar(df, nSeeds = 8, rowsPerBand = 3)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(b3Fast == b3Col, "lshBandsFast diverged on a ragged band split")
+
+    val fpFast = Dedup.fingerprintFast(df)
+      .as[(Long, String)].collect().sorted.toSeq
+    val fpCol = Dedup.fingerprintColumnar(df)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(fpFast == fpCol, "fingerprintFast diverged on adversarial corpus")
+
+    val prFast = Dedup.minhashPrefixesFastMd5(df)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val prCol = MinHashSearch.prefixes(
+      Dedup.minhashColumnar(df, hash = Dedup.Md5Portable), "doc_id", 8)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(prFast == prCol, "minhashPrefixesFastMd5 diverged")
+
+    // typed token passes ≡ their relational forms
+    import graft.ops.TextOps
+    val dtFast = TextOps.distinctTokensFast(df)
+      .as[(Long, String)].collect().sorted.toSeq
+    val dtCol = TextOps.tokens(df).select($"doc_id", $"term").distinct()
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(dtFast == dtCol, "distinctTokensFast diverged")
+    val szFast = TextOps.tokenSetSizesFast(df)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val szCol = TextOps.tokens(df).select($"doc_id", $"term").distinct()
+      .groupBy($"doc_id").count().as[(Long, Long)].collect().sorted.toSeq
+    assert(szFast == szCol, "tokenSetSizesFast diverged")
+    val dlFast = TextOps.docLengthsFast(df)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val dlCol = TextOps.tokens(df).groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(dlFast == dlCol, "docLengthsFast diverged")
+
     // the empty and sub-n docs really are absent (not present-with-garbage)
     val emptyIds = docs.filter(_._2.trim.isEmpty).map(_._1).toSet
     assert(emptyIds.nonEmpty)
     assert(mFast.forall(r => !emptyIds.contains(r._1)))
     assert(sFast.forall(r => !emptyIds.contains(r._1)))
     assert(wFast.forall(r => !emptyIds.contains(r._1)))
+    assert(mdFast.forall(r => !emptyIds.contains(r._1)))
+    assert(wmdFast.forall(r => !emptyIds.contains(r._1)))
+  }
+
+  test("driver-side query signature math: byte-identical to the relational " +
+    "signature/band/prefix forms") {
+    val queries = SparkEntry.mhQueries ++ Seq(
+      3 -> "Unicode HÉLLO 日本語 hello unicode", // case-fold + dedup
+      4 -> "  padded   spaces  ")
+    val qt = MinHashSearch.queryTermsDF(spark, queries)
+    val sigRel = MinHashSearch.querySignatures(qt, 8)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(_._3).toSeq }
+    val sigLoc = MinHashSearch.querySigLocal(queries, 8)
+      .map { case (id, hexes) => id -> hexes.toSeq }.toMap
+    assert(sigLoc == sigRel, "querySigLocal diverged from querySignatures")
+
+    val preRel = MinHashSearch.prefixes(
+      MinHashSearch.querySignatures(qt, 8), "query_id", 8)
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val preLoc = MinHashSearch.queryPrefixesLocal(queries, 8).sorted
+    assert(preLoc == preRel, "queryPrefixesLocal diverged from prefixes")
+
+    import org.apache.spark.sql.functions._
+    val bandsRel = MinHashSearch.querySignatures(qt, 8)
+      .withColumn("band", (col("seed") / 2).cast("long"))
+      .groupBy(col("query_id"), col("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash")), ",").cast("binary")).as("band_hash"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val bandsLoc = MinHashSearch.queryBandsLocal(queries, 8, 2).sorted
+    assert(bandsLoc == bandsRel, "queryBandsLocal diverged from the " +
+      "relational banding of query signatures")
   }
 
   test("weighted minhash: tf weighting separates docs the unweighted " +
