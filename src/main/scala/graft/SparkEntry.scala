@@ -183,14 +183,15 @@ object SparkEntry {
     //     itself is covered by its golden fixtures and by q_index_bm25's
     //     independently-tokenizing oracle. -------------------------------
     "q_pages_postings" -> ((s, _) => {
-      import s.implicits._
       exportPagesTokens(s)
       val p = BuildParams(numShards = 1, saltThreshold = 50, targetPerSalt = 100)
       val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), p)
       val stats = tok.agg(count(lit(1)), avg(col("dl"))).collect()(0)
       val avgdl = stats.getDouble(1)
-      val tf = IndexBuild.termFreqs(tok)
-        .map(pp => graft.index.ShardPosting(0, pp.term, pp.doc_id, pp.tf, pp.dl))
+      // per-doc (term, tf) pre-merge — zero-shuffle, identical rows to the
+      // corpus-wide termFreqs aggregation (one row per distinct term per
+      // doc), so the hot-term counts and every encoded block are unchanged
+      val tf = IndexBuild.docTermFreqs(tok)
       val hot = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .filter(col("df") > p.saltThreshold)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -230,10 +231,33 @@ object SparkEntry {
     * cannot race on one directory. */
   private val PagesExportDir = graft.core.ExportRoot.dir("pages_export")
   private def exportPagesTokens(s: SparkSession): Unit = {
-    val tok = IndexBuild.tokenize(Synth.pages(s, 1000, 42L), BuildParams(numShards = 1))
-    IndexBuild.termFreqs(tok)
-      .join(tok.select(col("doc_id"), col("url")), "doc_id")
-      .select(col("doc_id"), col("url"), col("term"), col("tf"), col("dl"))
+    import s.implicits._
+    // ONE narrow pass: per-doc (term, tf) from a per-doc hash map (the
+    // docTermFreqs pattern) with url/dl riding along — row-identical to
+    // the old termFreqs ⋈ url join, without its two exchanges
+    IndexBuild.tokenize(Synth.pages(s, 1000, 42L), BuildParams(numShards = 1))
+      .select(col("doc_id"), col("url"), col("dl"), col("tokens"))
+      .as[(Long, String, Int, Array[String])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, url, dl, toks) =>
+          val counts = new java.util.HashMap[String, Integer](
+            math.max(8, toks.length * 2))
+          var i = 0
+          while (i < toks.length) {
+            counts.merge(toks(i), 1, (a: Integer, b: Integer) => a + b)
+            i += 1
+          }
+          val out = new Array[(Long, String, String, Int, Int)](counts.size)
+          val eit = counts.entrySet().iterator()
+          var j = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            out(j) = (id, url, e.getKey, e.getValue.intValue(), dl)
+            j += 1
+          }
+          out
+        }
+      }.toDF("doc_id", "url", "term", "tf", "dl")
       .coalesce(1).write.mode("overwrite").parquet(PagesExportDir)
   }
 

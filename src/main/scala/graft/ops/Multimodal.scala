@@ -483,6 +483,34 @@ object Multimodal {
     case _ => decodeAviPixels(blob).map(_._3.flatten).getOrElse(Array.empty)
   }
 
+  /** One decode yielding BOTH the metadata row and the payload — the
+    * fused form of ([[decodeOne]], [[payloadOf]]), which each run the
+    * codec separately; field-for-field identical to both. */
+  private def decodeMetaPayload(id: Long, kind: String,
+                                blob: Array[Byte]): (MediaMeta, Array[Byte]) = {
+    val blobLen = if (blob == null) 0 else blob.length
+    def invalid = MediaMeta(id, kind, 0, 0, 0, blobLen, valid = false)
+    kind match {
+      case "image" => decodePng(blob) match {
+        case Some((w, h, px)) =>
+          (MediaMeta(id, kind, w, h, 1, px.length, valid = true), px)
+        case None => (invalid, Array.empty[Byte])
+      }
+      case "audio" => decodeWav(blob) match {
+        case Some((rate, ch, samples)) =>
+          (MediaMeta(id, kind, rate, ch, samples.length / ch, samples.length,
+            valid = true), samples)
+        case None => (invalid, Array.empty[Byte])
+      }
+      case _ => decodeAviPixels(blob) match {
+        case Some((w, h, frames)) =>
+          (MediaMeta(id, kind, w, h, frames.length, frames.map(_.length).sum,
+            valid = true), frames.flatten)
+        case None => (invalid, Array.empty[Byte])
+      }
+    }
+  }
+
   /** Batched decode: one pass per partition, decoder state reusable. */
   def decode(media: Dataset[Media]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -566,14 +594,35 @@ object Multimodal {
     * DIB/WAV round-trips), while the aggregation gets a driver-verified
     * DuckDB twin over the exported rows. */
   def summary(spark: SparkSession, n: Long = 2000, seed: Long = 42L): DataFrame = {
-    val media = synthMedia(spark, n, seed)
-    val meta = decode(media).toDF()
-    val feat = features(media).toDF()
-      .select(col("media_id"), explode(col("features")).as("f"))
-      .groupBy(col("media_id")).agg(round(sum(col("f")), 6).as("fsum"))
-    meta.join(feat, "media_id")
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        col("valid"), col("fsum"))
+    import spark.implicits._
+    // ONE generate+decode pass: meta and the feature mass are both
+    // functions of the decoded payload, so decoding once and deriving both
+    // halves the generator/codec work and removes the meta⋈features
+    // exchange outright. Byte-identical to the two-pass form (parity-
+    // tested in MultimodalSpec): same decoders, histogram accumulated per
+    // payload byte, fsum summed in ascending bin order — the order the
+    // explode fed the old aggregate — and rounded with the same HALF_UP
+    // BigDecimal arithmetic Spark's round uses.
+    val bins = 16
+    synthMedia(spark, n, seed).mapPartitions { it =>
+      val hist = new Array[Double](bins)
+      it.map { m =>
+        val (meta, payload) = decodeMetaPayload(m.media_id, m.kind, m.blob)
+        java.util.Arrays.fill(hist, 0.0)
+        var i = 0
+        while (i < payload.length) {
+          hist(((payload(i) & 0xFF) * bins) / 256) += 1.0
+          i += 1
+        }
+        val tot = math.max(payload.length, 1)
+        var s = 0.0
+        var b = 0
+        while (b < bins) { s += hist(b) / tot; b += 1 }
+        val fsum = java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        (m.media_id, m.kind, meta.width, meta.height, meta.valid, fsum)
+      }
+    }.toDF("media_id", "kind", "width", "height", "valid", "fsum")
       .coalesce(1).write.mode("overwrite").parquet(ExportDir)
     spark.read.parquet(ExportDir)
       .groupBy(col("kind"))

@@ -265,4 +265,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
     assert(a.size == 3) // image, audio, video
   }
+
+  test("summary's fused decode pass exports rows byte-identical to the " +
+    "two-pass decode ⋈ features form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Multimodal.summary(spark, 500).collect() // populates ExportDir
+    val fused = spark.read.parquet(Multimodal.ExportDir)
+      .as[(Long, String, Int, Int, Boolean, Double)].collect().sorted.toSeq
+    val media = Multimodal.synthMedia(spark, 500, 42L)
+    val twoPass = Multimodal.decode(media).toDF()
+      .join(Multimodal.features(media).toDF()
+        .select(col("media_id"), explode(col("features")).as("f"))
+        .groupBy(col("media_id")).agg(round(sum(col("f")), 6).as("fsum")),
+        "media_id")
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("valid"), col("fsum"))
+      .as[(Long, String, Int, Int, Boolean, Double)].collect().sorted.toSeq
+    assert(fused == twoPass, "fused summary rows diverged from the " +
+      "two-pass decode/features form")
+  }
 }
