@@ -224,10 +224,18 @@ object InvertedIndex {
       // linear-profile 290 s); small builds keep the session value (we
       // only ever RAISE it). Restored after the wave — a temporary wave-
       // scoped setting, the moral equivalent of a per-job shuffle hint.
+      // Scale-adaptive BOTH ways (the session value is a cluster-width
+      // default, not a data-derived one): RAISE above it at ~1.5M postings
+      // per partition (the measured anti-spill bound), and DROP below it
+      // when the wave is so small that the default would mean dozens of
+      // near-empty sort tasks of pure fixed overhead (one partition per
+      // ~50k postings, floor 1). The bench's scaling sizes are unaffected:
+      // at 300k docs the lower bound already exceeds the session default.
       val wavePostings = todoStats.filter(s => wave.contains(s._1)).map(_._3).sum
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val wavePartitions = math.min(20000L,
-        math.max(prevShuffle.toLong, wavePostings / 1500000L)).toInt
+      val wavePartitions = math.max(1L, math.min(20000L,
+        math.max(math.min(prevShuffle.toLong, (wavePostings + 49999) / 50000L),
+          wavePostings / 1500000L))).toInt
       if (wavePartitions != prevShuffle)
         spark.conf.set("spark.sql.shuffle.partitions", wavePartitions.toString)
       try phaseTimed("postings-build")(

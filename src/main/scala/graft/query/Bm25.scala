@@ -134,12 +134,20 @@ object Bm25 {
     * build wave) are invisible. */
   def open(spark: SparkSession, dir: String, nTermBuckets: Int = 16): IndexHandle = {
     import spark.implicits._
-    val p = InvertedIndex.readParams(spark, dir)
-      .getOrElse(graft.index.BuildParams(nTermBuckets = nTermBuckets))
-    val committed = InvertedIndex.committedShards(spark, dir)
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    // three independent small metadata jobs (params, manifest, corpus) —
+    // their wall-clock is per-job latency, not compute; overlap them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pF = Future(InvertedIndex.readParams(spark, dir)
+      .getOrElse(graft.index.BuildParams(nTermBuckets = nTermBuckets)))
+    val committedF = Future(InvertedIndex.committedShards(spark, dir))
+    val corpusAllF = Future(spark.read.parquet(s"$dir/corpus")
       .select($"shard", $"n_docs", $"sum_dl", $"avgdl_build")
-      .as[(Int, Long, Long, Double)].collect()
+      .as[(Int, Long, Long, Double)].collect())
+    val p = Await.result(pF, Duration.Inf)
+    val committed = Await.result(committedF, Duration.Inf)
+    val corpus = Await.result(corpusAllF, Duration.Inf)
       .filter(r => committed.contains(r._1))
     val n = corpus.map(_._2).sum
     val avgdl = corpus.map(_._3).sum.toDouble / math.max(n, 1L)
