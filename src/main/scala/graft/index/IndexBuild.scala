@@ -188,52 +188,51 @@ object IndexBuild {
   private def tfSat(tf: Int, dl: Int, avgdl: Double, k1: Double, b: Double): Double =
     tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
-  /** Merge consecutive postings with equal doc_id, summing tf. Lets the
-    * build feed RAW TOKEN INSTANCES (tf=1 each) straight into the salted
-    * sort: after sorting by doc_id, a doc's instances are adjacent, so tf
-    * falls out of run-length counting — no separate corpus-wide
-    * (term, doc_id) aggregation shuffle is ever needed. No-op on already
-    * aggregated input. */
-  private def mergeConsecutive(it: Iterator[Posting]): Iterator[Posting] =
-    new Iterator[Posting] {
-      private val buf = it.buffered
-      def hasNext: Boolean = buf.hasNext
-      def next(): Posting = {
-        var cur = buf.next()
-        while (buf.hasNext && buf.head.doc_id == cur.doc_id)
-          cur = cur.copy(tf = cur.tf + buf.next().tf)
-        cur
-      }
-    }
-
-  /** Encode one sorted iterator of postings into blocks of ≤ blockSize. */
-  private def encodeBlocks(shard: Int, term: String, salt: Int,
-                           preSorted: Iterator[Posting],
-                           blockSize: Int, avgdl: Double, k1: Double, b: Double
-                          ): Iterator[PostingBlock] =
+  /** Encode one doc_id-sorted run of [[RunValue]]s into blocks of ≤
+    * blockSize MERGED postings. Consecutive rows with equal doc_id are
+    * merged by summing tf BEFORE a posting is appended (a doc's merged
+    * posting therefore never splits across blocks) — this keeps the
+    * raw-token-instance feed (tf=1 per occurrence) working with no
+    * separate corpus-wide (term, doc_id) aggregation shuffle, and is a
+    * no-op on pre-aggregated input. Blocks are byte-identical to the old
+    * Posting-object pipeline; the rewrite removes one Posting allocation
+    * per shuffled row and the boxed ArrayBuffer[Long] appends (three boxed
+    * longs per posting) from the hottest loop of the build's one big
+    * shuffle. */
+  private def encodeRunValues(shard: Int, term: String, salt: Int,
+                              rvs: Iterator[RunValue], blockSize: Int,
+                              avgdl: Double, k1: Double, b: Double
+                             ): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
-      private val sorted = mergeConsecutive(preSorted)
+      private val buf = rvs.buffered
+      private val docs = new Array[Long](blockSize)
+      private val tfs = new Array[Long](blockSize)
+      private val dls = new Array[Long](blockSize)
       private var blockId = 0
-      def hasNext: Boolean = sorted.hasNext
+      def hasNext: Boolean = buf.hasNext
       def next(): PostingBlock = {
-        val docs = new ArrayBuffer[Long](blockSize)
-        val tfs = new ArrayBuffer[Long](blockSize)
-        val dls = new ArrayBuffer[Long](blockSize)
+        var n = 0
         var maxTf = 0
         var maxSat = 0.0
-        while (sorted.hasNext && docs.length < blockSize) {
-          val pp = sorted.next()
-          docs += pp.doc_id; tfs += pp.tf.toLong; dls += pp.dl.toLong
-          if (pp.tf > maxTf) maxTf = pp.tf
-          val s = tfSat(pp.tf, pp.dl, avgdl, k1, b)
+        while (buf.hasNext && n < blockSize) {
+          val v = buf.next()
+          val docId = v.doc_id
+          var tf = (v.tfdl >>> 32).toInt
+          val dl = v.tfdl.toInt
+          while (buf.hasNext && buf.head.doc_id == docId)
+            tf += (buf.next().tfdl >>> 32).toInt
+          docs(n) = docId; tfs(n) = tf.toLong; dls(n) = dl.toLong
+          if (tf > maxTf) maxTf = tf
+          val s = tfSat(tf, dl, avgdl, k1, b)
           if (s > maxSat) maxSat = s
+          n += 1
         }
         val blk = PostingBlock(
-          shard, term, salt, blockId, docs.head, docs.last, docs.length,
+          shard, term, salt, blockId, docs(0), docs(n - 1), n,
           maxTf, maxSat,
-          VarByte.encodeDeltas(docs.toArray),
-          VarByte.encode(tfs.toArray),
-          VarByte.encode(dls.toArray))
+          VarByte.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
+          VarByte.encode(java.util.Arrays.copyOf(tfs, n)),
+          VarByte.encode(java.util.Arrays.copyOf(dls, n)))
         blockId += 1
         blk
       }
@@ -299,13 +298,15 @@ object IndexBuild {
     tf
       .groupByKey { pp =>
         val n = bcHot.value.getOrElse(pp.term, 1)
-        ((pp.shard.toLong << 32) | rangeSalt(pp.doc_id, n), pp.term)
+        // mask the salt: rangeSalt of a NEGATIVE doc_id is negative, and
+        // sign extension would overwrite the shard field (silently merging
+        // hot-term postings across shards). All in-repo producers mask
+        // doc_id non-negative, but saltedRuns is a public API.
+        ((pp.shard.toLong << 32) | (rangeSalt(pp.doc_id, n) & 0xFFFFFFFFL), pp.term)
       }
       .mapValues(pp => RunValue(pp.doc_id, (pp.tf.toLong << 32) | pp.dl))
       .flatMapSortedGroups($"doc_id") { case ((gk, term), it) =>
-        encodeBlocks((gk >>> 32).toInt, term, gk.toInt,
-          it.map(v => Posting(term, v.doc_id,
-            (v.tfdl >>> 32).toInt, v.tfdl.toInt)),
+        encodeRunValues((gk >>> 32).toInt, term, gk.toInt, it,
           blockSize, avgdl, k1, b)
       }
   }
