@@ -300,7 +300,12 @@ object SparkEntry {
         concat_ws(" ", col("lang"), col("source"))).as("title"),
       col("text").as("body"))
     PostsXml.render(posts).coalesce(1).write.mode("overwrite").text(XmlQExportDir)
-    PostsXml.questions(PostsXml.read(s, XmlQExportDir))
+    // clean = false: the oracle compares RAW lengths, so the round-trip
+    // must not normalize bodies (ADVICE r5: on this corpus cleanString is
+    // an identity, but any punctuated corpus would fail the gate for a
+    // non-bug reason). The cleaning pass itself stays covered by
+    // PostsXmlSpec and the default `questions` path.
+    PostsXml.questions(PostsXml.read(s, XmlQExportDir), clean = false)
       .select(col("id"), col("title"), col("n_answers"),
         coalesce(col("answer_ids")(0), lit(-1L)).as("first_aid"),
         length(col("body")).cast("long").as("body_len"),

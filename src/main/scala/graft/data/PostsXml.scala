@@ -60,12 +60,22 @@ object PostsXml {
             case "amp" => "&"
             case "quot" => "\""
             case "apos" => "'"
+            // parse as a full code point, not a truncated 16-bit char:
+            // supplementary-plane refs (e.g. emoji &#128169;) must decode
+            // to their surrogate pair, and out-of-range values fall back
+            // to literal pass-through (lenient policy)
             case _ if body.startsWith("#x") || body.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(body.substring(2), 16).toChar)
-              catch { case _: Exception => null }
+              try {
+                val cp = Integer.parseInt(body.substring(2), 16)
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+                else null
+              } catch { case _: Exception => null }
             case _ if body.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(body.substring(1)).toChar)
-              catch { case _: Exception => null }
+              try {
+                val cp = Integer.parseInt(body.substring(1))
+                if (Character.isValidCodePoint(cp)) new String(Character.toChars(cp))
+                else null
+              } catch { case _: Exception => null }
             case _ => null
           }
           if (decoded != null) { out.append(decoded); i = semi + 1 }
@@ -161,12 +171,19 @@ object PostsXml {
     * question); answers aggregate in (id asc) order so the output is
     * deterministic under any partitioning.
     * Output: (id, title, body, n_answers, answer_ids, answers). */
-  def questions(posts: Dataset[Post]): DataFrame = {
+  def questions(posts: Dataset[Post], clean: Boolean = true): DataFrame = {
     import posts.sparkSession.implicits._
-    val cleaned = posts.map { p =>
-      p.copy(title = TextExtract.cleanString(p.title),
-        body = TextExtract.cleanString(p.body))
-    }
+    // `clean = false` skips the cleanString pass for byte-identity
+    // round-trips (the q_xml_questions oracle compares RAW body lengths;
+    // on punctuation-free corpora the pass is an identity, but a corpus
+    // with markup would diverge for a non-bug reason). The ingest
+    // pipeline's default keeps the reference's cleaning semantics.
+    val cleaned =
+      if (!clean) posts
+      else posts.map { p =>
+        p.copy(title = TextExtract.cleanString(p.title),
+          body = TextExtract.cleanString(p.body))
+      }
     val qs = cleaned.filter(_.post_type_id != 2L).toDF()
       .select(col("id"), col("title"), col("body"))
     val ans = cleaned.filter(p => p.post_type_id == 2L && p.parent_id.isDefined)

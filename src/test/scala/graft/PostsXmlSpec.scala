@@ -22,6 +22,12 @@ class PostsXmlSpec extends SparkSpec {
     // unknown and unterminated references pass through literally
     val lenient = PostsXml.parseRowAttrs("""<row Id="3" Body="&foo; &amp x" />""")
     assert(lenient.get("Body") == "&foo; &amp x")
+    // supplementary-plane refs decode to the full code point (surrogate
+    // pair), not a truncated 16-bit char; out-of-range refs pass through
+    val supp = PostsXml.parseRowAttrs(
+      """<row Id="4" Body="&#128169; &#x1F4A9; &#1114112; &#x110000;" />""")
+    assert(supp.get("Body") ==
+      "💩 💩 &#1114112; &#x110000;")
     // non-row lines are skipped, not errors
     assert(PostsXml.parseRowAttrs("""<?xml version="1.0" encoding="utf-8"?>""").isEmpty)
     assert(PostsXml.parseRowAttrs("<posts>").isEmpty)
