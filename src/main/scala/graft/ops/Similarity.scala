@@ -125,14 +125,48 @@ object Similarity {
       }.toDF("vec_id", "bucket")
   }
 
+  /** One typed pass emitting (vec_id, v: double vector, bucket) — the
+    * fused form of `asDouble(embedding)` ⋈ [[annBucketsFast]]: the bucket
+    * is a per-row function, so attaching it never needs the vec_id join
+    * (one exchange per consumer gone). Same empty-vector absence and
+    * bit-identical buckets as the unfused pair. */
+  private def vectorsWithBuckets(emb: DataFrame, nPlanes: Int,
+                                 dims: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val w = planesLocal(nPlanes, dims)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vf) =>
+          if (vf == null || vf.isEmpty) Iterator.empty
+          else {
+            val v = new Array[Double](vf.length)
+            var i = 0
+            while (i < vf.length) { v(i) = vf(i).toDouble; i += 1 }
+            val n = math.min(dims, v.length)
+            var bucket = 0L
+            var j = 0
+            while (j < nPlanes) {
+              val wj = w(j)
+              var s = 0.0
+              var k = 0
+              while (k < n) { s += v(k) * wj(k); k += 1 }
+              val d = java.math.BigDecimal.valueOf(s)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (d > 0) bucket |= 1L << j
+              j += 1
+            }
+            Iterator.single((id, v, bucket))
+          }
+        }
+      }.toDF("vec_id", "v", "bucket")
+  }
+
   /** Bucketed ANN: per query (vec_id < nQueries), top-k by cosine among
     * candidates sharing the query's LSH bucket. Scale path: the join is on
     * bucket (shuffle-partitioned), never all-pairs. */
   def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
               nPlanes: Int = 8, dims: Int = 64): DataFrame = {
-    val buckets = annBuckets(emb, nPlanes, dims)
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(buckets, "vec_id")
+    val e = vectorsWithBuckets(emb, nPlanes, dims)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("bucket").as("qbucket"))
@@ -157,11 +191,12 @@ object Similarity {
                         nPlanes: Int = 8, dims: Int = 64,
                         maxBucket: Int = 50): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val capped = annBuckets(emb, nPlanes, dims)
+    // fused vector+bucket pass (bucket is a per-row function) — the cap
+    // window sees the identical per-bucket row counts, and the vec_id
+    // join that attached vectors to buckets is gone
+    val e = vectorsWithBuckets(emb, nPlanes, dims)
       .withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket).drop("bn")
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(capped, "vec_id")
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("bucket").as("bucket_b"))
