@@ -118,6 +118,28 @@ object BenchExtra {
           Files.writeString(Paths.get(s"plans/r06/${name}_$tag.txt"), plan)
           println(s"wrote plans/r06/${name}_$tag.txt")
         }
+      case "jobs" =>
+        // per-job trace: duration + call site of each Spark job a query
+        // submits (finds the fixed-overhead chain in orchestration-bound
+        // queries)
+        val trace = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            trace.put(e.jobId, (System.nanoTime(),
+              e.stageInfos.lastOption.map(_.name).getOrElse("?")))
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = trace.remove(e.jobId)
+            if (st != null)
+              println(f"    job ${e.jobId}%4d ${(System.nanoTime() - st._1) / 1e9}%6.2f s  ${st._2.take(90)}")
+          }
+        })
+        selected.foreach { case (name, fn) =>
+          fn(s, sfDir).count() // warm pass
+          println(s"== $name (warm pass below) ==")
+          val (_, sec) = time(fn(s, sfDir).count())
+          Thread.sleep(300)
+          println(f"== $name total $sec%.2f s ==")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     s.stop()

@@ -465,11 +465,16 @@ object Bm25 {
     /** Candidate doc metadata lookup (the reference's title-cache probe,
       * index_new.py:69). The top-k result set is the tiny side — broadcast
       * IT, never the doc table (docstats is corpus-sized: 10^12 rows at the
-      * design point). */
+      * design point). INNER join, deliberately: a right-outer cannot
+      * broadcast its preserved (right) side — Spark logs "build right for
+      * right outer join" and silently drops the hint, leaving a
+      * corpus-sized docstats shuffle at scale — and every result doc_id
+      * exists in docstats by construction (both come from the same
+      * committed-shard snapshot), so the join types agree row-for-row. */
     def withUrls(results: DataFrame): DataFrame =
       InvertedIndex.docStats(spark, dir)
         .select($"doc_id", $"url", $"doclen")
-        .join(broadcast(results), Seq("doc_id"), "right")
+        .join(broadcast(results), Seq("doc_id"))
         .select(results.columns.map(col) :+ $"url" :+ $"doclen": _*)
   }
 
