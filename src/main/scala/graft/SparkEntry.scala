@@ -258,7 +258,9 @@ object SparkEntry {
           out
         }
       }.toDF("doc_id", "url", "term", "tf", "dl")
-      .coalesce(1).write.mode("overwrite").parquet(PagesExportDir)
+      // repartition(1), NOT coalesce(1): the plan is now all-narrow and
+      // coalesce would run tokenize single-threaded (see Multimodal.summary)
+      .repartition(1).write.mode("overwrite").parquet(PagesExportDir)
   }
 
   /** Per-process exports of the documents table rendered as Posts.xml

@@ -623,7 +623,11 @@ object Multimodal {
         (m.media_id, m.kind, meta.width, meta.height, meta.valid, fsum)
       }
     }.toDF("media_id", "kind", "width", "height", "valid", "fsum")
-      .coalesce(1).write.mode("overwrite").parquet(ExportDir)
+      // repartition(1), NOT coalesce(1): with the join exchange gone the
+      // plan is all-narrow, and coalesce would collapse the whole
+      // generate+decode chain into one task — the tiny row exchange keeps
+      // the codec work parallel while still writing a single file
+      .repartition(1).write.mode("overwrite").parquet(ExportDir)
     spark.read.parquet(ExportDir)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
