@@ -233,9 +233,19 @@ object InvertedIndex {
       // at 300k docs the lower bound already exceeds the session default.
       val wavePostings = todoStats.filter(s => wave.contains(s._1)).map(_._3).sum
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val wavePartitions = math.max(1L, math.min(20000L,
-        math.max(math.min(prevShuffle.toLong, (wavePostings + 49999) / 50000L),
-          wavePostings / 1500000L))).toInt
+      val rawParts = math.max(math.min(prevShuffle.toLong,
+        (wavePostings + 49999) / 50000L), wavePostings / 1500000L)
+      // Straggler-tail guard (a data-derived count like 21 runs as waves
+      // of cores with a fractional last wave — e.g. 21 tasks on 8 cores =
+      // 8+8+5, idling 3/8 of the machine for a third of the sort): when
+      // the count exceeds the session's core count, round it UP to a
+      // multiple of it. Blocks are per-(term,salt) groups — partition
+      // count never changes content.
+      val cores = math.max(1, spark.sparkContext.defaultParallelism)
+      val balanced =
+        if (rawParts > cores) ((rawParts + cores - 1) / cores) * cores
+        else rawParts
+      val wavePartitions = math.max(1L, math.min(20000L, balanced)).toInt
       if (wavePartitions != prevShuffle)
         spark.conf.set("spark.sql.shuffle.partitions", wavePartitions.toString)
       try phaseTimed("postings-build")(
