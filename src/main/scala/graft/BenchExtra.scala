@@ -144,4 +144,80 @@ object BenchExtra {
     }
     s.stop()
   }
+
+  /** Exact replica of Bench phase 2 (`timedBuild`): same per-level session
+    * conf, same pages parquet input, same warm build, same params — run as
+    * `runMain graft.BenchExtra2 <docs> <coresLow> <coresHigh> [reps]`.
+    * Exists so scaling-efficiency work can be measured without running the
+    * frozen 7-phase ladder. */
+}
+
+object BenchExtra2 {
+  private val ShmBase = "/dev/shm/graft_bx2"
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bx2-$cores")
+      .config("spark.local.dir", s"$ShmBase/spark_local")
+      .config("spark.sql.shuffle.partitions", 2 * cores)
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docs = args.headOption.map(_.toLong).getOrElse(300000L)
+    val lo = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val hi = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(3).headOption.map(_.toInt).getOrElse(2)
+    val tmp = s"$ShmBase/tmp"
+    new java.io.File(tmp).mkdirs()
+    sys.props("java.io.tmpdir") = tmp
+    val pagesPath = s"$ShmBase/pages_$docs"
+
+    locally {
+      val s = session(hi)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesPath, "_SUCCESS")))
+        graft.data.Synth.pages(s, docs, 42L, 64)
+          .write.mode("overwrite").parquet(pagesPath)
+      s.stop()
+    }
+
+    def timedBuild(cores: Int, warm: Boolean): Double = {
+      val s = session(cores)
+      import s.implicits._
+      val pages = s.read.parquet(pagesPath).as[graft.data.Page]
+      if (warm) {
+        val warmDir = s"$tmp/graft_bx2_warm_$cores"
+        InvertedIndex.deleteDir(warmDir)
+        InvertedIndex.build(s, pages.limit(5000), warmDir,
+          graft.index.BuildParams(numShards = 1))
+      }
+      val idxDir = s"$tmp/graft_bx2_idx_$cores"
+      InvertedIndex.deleteDir(idxDir)
+      val t0 = System.nanoTime()
+      InvertedIndex.build(s, pages, idxDir, graft.index.BuildParams(numShards = 4))
+      val sec = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      sec
+    }
+
+    val tl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val th = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 0 until reps) {
+      tl += timedBuild(lo, warm = rep == 0)
+      th += timedBuild(hi, warm = rep == 0)
+      val eff = tl.min / (th.min * (hi.toDouble / lo))
+      println(f"[bx2] rep $rep: t$lo=${tl.last}%.2f t$hi=${th.last}%.2f " +
+        f"min t$lo=${tl.min}%.2f t$hi=${th.min}%.2f eff(min)=$eff%.3f " +
+        f"eff(pair)=${tl.last / (th.last * (hi.toDouble / lo))}%.3f")
+    }
+  }
 }

@@ -270,22 +270,300 @@ object IndexBuild {
     * width, so two ints packed into one long halve their wire cost. */
   private[index] case class RunValue(doc_id: Long, tfdl: Long)
 
-  /** Salt hot terms, shuffle on (shard, term, salt), sort by doc_id within
-    * each group, varbyte-encode runs. The salt bounds any single task's
-    * state to ~targetPerSalt postings regardless of term skew; keying by
-    * shard lets ONE job process a whole wave of shards. Because the salt is
-    * a doc_id RANGE (see [[rangeSalt]]), the emitted blocks of a term are
-    * globally non-overlapping and need no downstream merge: this one
+  /** One map-side posting run: a doc_id-sorted, within-run-merged slice of
+    * one (shard|salt, term) posting list, pre-compressed with the SAME
+    * delta+varbyte codec the final blocks use. This is what the build's one
+    * shuffle now ships: one row per (term, salt) per MAP PARTITION instead
+    * of one row per posting (SPIMI-style run generation, IIR §4.3), so the
+    * shuffle's row count drops by the postings-per-run factor (~40× at
+    * 300k docs) and its bytes by ~3× (varbyte vs 8-byte slots). */
+  private[index] case class PostingRun(
+      gk: Long, term: String, n: Int,
+      docs_vb: Array[Byte], tfs_vb: Array[Byte], dls_vb: Array[Byte])
+
+  /** Growable (doc_id, tfdl) pair buffer for one (term, salt) run. */
+  private final class RunBuf(initCap: Int) {
+    var docs = new Array[Long](initCap)
+    var tfdls = new Array[Long](initCap)
+    var n = 0
+    def add(d: Long, t: Long): Unit = {
+      if (n == docs.length) {
+        docs = java.util.Arrays.copyOf(docs, n * 2)
+        tfdls = java.util.Arrays.copyOf(tfdls, n * 2)
+      }
+      docs(n) = d; tfdls(n) = t; n += 1
+    }
+  }
+
+  /** Quicksort the pair arrays (d, t) on d over [lo, hi] — keeps the two
+    * parallel primitive arrays aligned without boxing a tuple per posting.
+    * Equal keys may land in any order (they are merged immediately after,
+    * summing tf — order-insensitive). */
+  private def sortPairs(d: Array[Long], t: Array[Long], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0; var hi = hi0
+    while (hi - lo > 12) {
+      // median-of-three pivot
+      val mid = lo + (hi - lo) / 2
+      val pivot = {
+        val a = d(lo); val b = d(mid); val c = d(hi)
+        if (a < b) { if (b < c) b else if (a < c) c else a }
+        else { if (a < c) a else if (b < c) c else b }
+      }
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (d(i) < pivot) i += 1
+        while (d(j) > pivot) j -= 1
+        if (i <= j) {
+          val td = d(i); d(i) = d(j); d(j) = td
+          val tt = t(i); t(i) = t(j); t(j) = tt
+          i += 1; j -= 1
+        }
+      }
+      // recurse on the smaller half, loop on the larger (O(log n) stack)
+      if (j - lo < hi - i) { sortPairs(d, t, lo, j); lo = i }
+      else { sortPairs(d, t, i, hi); hi = j }
+    }
+    // insertion sort for the small tail
+    var i = lo + 1
+    while (i <= hi) {
+      val kd = d(i); val kt = t(i)
+      var j = i - 1
+      while (j >= lo && d(j) > kd) { d(j + 1) = d(j); t(j + 1) = t(j); j -= 1 }
+      d(j + 1) = kd; t(j + 1) = kt
+      i += 1
+    }
+  }
+
+  /** Sort a run buffer by doc_id, merge equal doc_ids (sum tf, keep the
+    * first dl — doc_ids repeat only on instance-level feeds, where dl is
+    * constant per doc), and varbyte-encode it into one [[PostingRun]]. */
+  private def encodeRun(gk: Long, term: String, b: RunBuf): PostingRun = {
+    sortPairs(b.docs, b.tfdls, 0, b.n - 1)
+    val docs = new Array[Long](b.n)
+    val tfs = new Array[Long](b.n)
+    val dls = new Array[Long](b.n)
+    var m = 0
+    var i = 0
+    while (i < b.n) {
+      val docId = b.docs(i)
+      var tf = (b.tfdls(i) >>> 32).toInt
+      val dl = b.tfdls(i).toInt
+      i += 1
+      while (i < b.n && b.docs(i) == docId) {
+        tf += (b.tfdls(i) >>> 32).toInt; i += 1
+      }
+      docs(m) = docId; tfs(m) = tf.toLong; dls(m) = dl.toLong
+      m += 1
+    }
+    PostingRun(gk, term, m,
+      VarByte.encodeDeltas(java.util.Arrays.copyOf(docs, m)),
+      VarByte.encode(java.util.Arrays.copyOf(tfs, m)),
+      VarByte.encode(java.util.Arrays.copyOf(dls, m)))
+  }
+
+  /** Map-side state cap: when a task has buffered this many postings it
+    * flushes its runs early (several runs per (term, salt) per partition
+    * are fine — the reduce-side k-way merge accepts any number). Bounds
+    * per-task memory at ~2×64 MB of primitive arrays regardless of
+    * partition size. */
+  private val RunFlushPostings = 4L * 1000 * 1000
+
+  /** SPIMI run generation: one pass over a partition's postings, buffering
+    * (doc_id, tf|dl) per (shard|salt, term), emitting sorted varbyte runs.
+    */
+  private def partitionRuns(it: Iterator[ShardPosting],
+                            hotSalts: Map[String, Int]): Iterator[PostingRun] =
+    new Iterator[PostingRun] {
+      // term → (packed shard|salt → buffer); the inner map has 1 entry for
+      // cold terms and nSalts(term) (× shards seen) for hot ones
+      private val byTerm =
+        new java.util.HashMap[String, java.util.HashMap[java.lang.Long, RunBuf]]()
+      private var pending: Iterator[PostingRun] = Iterator.empty
+      private def flush(): Iterator[PostingRun] = {
+        val out = new ArrayBuffer[PostingRun](byTerm.size)
+        val eit = byTerm.entrySet().iterator()
+        while (eit.hasNext) {
+          val e = eit.next()
+          val git = e.getValue.entrySet().iterator()
+          while (git.hasNext) {
+            val g = git.next()
+            out += encodeRun(g.getKey, e.getKey, g.getValue)
+          }
+        }
+        byTerm.clear()
+        out.iterator
+      }
+      // consume input until the flush threshold (bounding task state) or
+      // end-of-partition, then stream that flush's runs out
+      private def fill(): Unit = {
+        var buffered = 0L
+        while (it.hasNext && buffered < RunFlushPostings) {
+          val pp = it.next()
+          val nSalt = hotSalts.getOrElse(pp.term, 1)
+          // mask the salt: rangeSalt of a NEGATIVE doc_id is negative, and
+          // sign extension would overwrite the shard field (silently
+          // merging hot-term postings across shards). All in-repo
+          // producers mask doc_id non-negative, but saltedRuns is a
+          // public API.
+          val gk = (pp.shard.toLong << 32) |
+            (rangeSalt(pp.doc_id, nSalt) & 0xFFFFFFFFL)
+          var inner = byTerm.get(pp.term)
+          if (inner == null) {
+            inner = new java.util.HashMap[java.lang.Long, RunBuf](2)
+            byTerm.put(pp.term, inner)
+          }
+          var buf = inner.get(gk)
+          if (buf == null) { buf = new RunBuf(8); inner.put(gk, buf) }
+          buf.add(pp.doc_id, (pp.tf.toLong << 32) | (pp.dl & 0xFFFFFFFFL))
+          buffered += 1
+        }
+        pending = flush()
+      }
+      def hasNext: Boolean = {
+        while (!pending.hasNext && it.hasNext) fill()
+        pending.hasNext
+      }
+      def next(): PostingRun = {
+        if (!hasNext) throw new NoSuchElementException
+        pending.next()
+      }
+    }
+
+  /** Reduce side: k-way-merge the doc_id-sorted runs of one (shard|salt,
+    * term) group and chunk the merged stream into encoded blocks — the
+    * byte-identical successor of [[encodeRunValues]] (same merge-equal-
+    * doc_ids-then-chunk semantics over the same globally sorted stream;
+    * runs never interleave equal doc_ids unless the caller fed duplicate
+    * (term, doc) rows across partitions, which the merge handles exactly
+    * like the old sorted shuffle did). */
+  private def mergeRunsEncode(shard: Int, term: String, salt: Int,
+                              runs: Array[PostingRun], blockSize: Int,
+                              avgdl: Double, k1: Double, b: Double
+                             ): Iterator[PostingBlock] = {
+    val k = runs.length
+    val rd = new Array[Array[Long]](k)
+    val rt = new Array[Array[Long]](k)
+    val rl = new Array[Array[Long]](k)
+    var i = 0
+    while (i < k) {
+      val r = runs(i)
+      rd(i) = VarByte.decodeDeltas(r.docs_vb, r.n)
+      rt(i) = VarByte.decode(r.tfs_vb, r.n)
+      rl(i) = VarByte.decode(r.dls_vb, r.n)
+      i += 1
+    }
+    if (k == 1)
+      // single run (already merged and sorted at map side): chunk directly,
+      // no heap — the common case for rare terms and single-partition waves
+      return singleRunBlocks(shard, term, salt, rd(0), rt(0), rl(0),
+        blockSize, avgdl, k1, b)
+
+    val pos = new Array[Int](k)
+    // min-heap of run indices keyed by current doc_id
+    val heap = new java.util.PriorityQueue[Integer](math.max(1, k),
+      (a: Integer, b2: Integer) => java.lang.Long.compare(
+        rd(a.intValue())(pos(a.intValue())), rd(b2.intValue())(pos(b2.intValue()))))
+    i = 0
+    while (i < k) { if (rd(i).nonEmpty) heap.add(i); i += 1 }
+
+    new Iterator[PostingBlock] {
+      private val docs = new Array[Long](blockSize)
+      private val tfs = new Array[Long](blockSize)
+      private val dls = new Array[Long](blockSize)
+      private var blockId = 0
+      def hasNext: Boolean = !heap.isEmpty
+      def next(): PostingBlock = {
+        var n = 0
+        var maxTf = 0
+        var maxSat = 0.0
+        while (!heap.isEmpty && n < blockSize) {
+          var r = heap.poll().intValue()
+          val docId = rd(r)(pos(r))
+          var tf = rt(r)(pos(r)).toInt
+          val dl = rl(r)(pos(r)).toInt
+          pos(r) += 1
+          if (pos(r) < rd(r).length) heap.add(r)
+          // merge the same doc_id surfacing from any run
+          var top = heap.peek()
+          while (top != null && rd(top.intValue())(pos(top.intValue())) == docId) {
+            r = heap.poll().intValue()
+            tf += rt(r)(pos(r)).toInt
+            pos(r) += 1
+            if (pos(r) < rd(r).length) heap.add(r)
+            top = heap.peek()
+          }
+          docs(n) = docId; tfs(n) = tf.toLong; dls(n) = dl.toLong
+          if (tf > maxTf) maxTf = tf
+          val s = tfSat(tf, dl, avgdl, k1, b)
+          if (s > maxSat) maxSat = s
+          n += 1
+        }
+        val blk = PostingBlock(
+          shard, term, salt, blockId, docs(0), docs(n - 1), n,
+          maxTf, maxSat,
+          VarByte.encodeDeltas(java.util.Arrays.copyOf(docs, n)),
+          VarByte.encode(java.util.Arrays.copyOf(tfs, n)),
+          VarByte.encode(java.util.Arrays.copyOf(dls, n)))
+        blockId += 1
+        blk
+      }
+    }
+  }
+
+  /** Chunk one already-merged, doc_id-sorted run straight into blocks. */
+  private def singleRunBlocks(shard: Int, term: String, salt: Int,
+                              docsIn: Array[Long], tfsIn: Array[Long],
+                              dlsIn: Array[Long], blockSize: Int,
+                              avgdl: Double, k1: Double, b: Double
+                             ): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private var off = 0
+      private var blockId = 0
+      def hasNext: Boolean = off < docsIn.length
+      def next(): PostingBlock = {
+        val n = math.min(blockSize, docsIn.length - off)
+        var maxTf = 0
+        var maxSat = 0.0
+        var i = 0
+        while (i < n) {
+          val tf = tfsIn(off + i).toInt
+          if (tf > maxTf) maxTf = tf
+          val s = tfSat(tf, dlsIn(off + i).toInt, avgdl, k1, b)
+          if (s > maxSat) maxSat = s
+          i += 1
+        }
+        val blk = PostingBlock(
+          shard, term, salt, blockId,
+          docsIn(off), docsIn(off + n - 1), n, maxTf, maxSat,
+          VarByte.encodeDeltas(java.util.Arrays.copyOfRange(docsIn, off, off + n)),
+          VarByte.encode(java.util.Arrays.copyOfRange(tfsIn, off, off + n)),
+          VarByte.encode(java.util.Arrays.copyOfRange(dlsIn, off, off + n)))
+        off += n
+        blockId += 1
+        blk
+      }
+    }
+
+  /** Salt hot terms, generate map-side sorted varbyte runs per (shard|salt,
+    * term) (SPIMI, IIR §4.3), shuffle the RUNS, k-way-merge and chunk into
+    * blocks at the reduce side. The salt bounds any single group's postings
+    * to ~targetPerSalt regardless of term skew; keying by shard lets ONE
+    * job process a whole wave of shards. Because the salt is a doc_id RANGE
+    * (see [[rangeSalt]]), the emitted blocks of a term are globally
+    * non-overlapping and need no downstream merge across salts: this one
     * shuffle is the entire postings build.
     *
-    * Shuffle-byte discipline (this exchange IS the build's wire cost at
-    * 100 TB): `groupByKey` APPENDS its key columns to the row, so a naive
-    * value of SaltedPosting ships `term` twice and shard/salt twice per
-    * posting. Here `mapValues` strips the value to (doc_id, tf|dl packed)
-    * BEFORE the exchange and the key carries ((shard|salt) packed, term) —
-    * the term string travels exactly once and the row shrinks from nine
-    * 8-byte slots + two strings to four slots + one string. Block output
-    * is byte-identical (same per-(term,salt) doc_id-sorted stream). */
+    * Shuffle discipline (this exchange IS the build's wire cost at 100 TB):
+    * the wire unit is one run per (term, salt) per map partition — the term
+    * string travels once per RUN (not once per posting), doc_ids travel as
+    * delta+varbyte gaps and tf/dl as varbyte ints (the same codec the final
+    * blocks use). Measured at 300k docs / local[8]: 24.2M rows / 303 MiB
+    * (row-per-posting sorted shuffle) → ~0.27M rows / ~59 MiB, and the
+    * shuffle's sort machinery now orders run rows, not postings — the
+    * per-posting sort runs as primitive-array quicksorts inside map tasks.
+    * Block output is byte-identical (same per-(term,salt) doc_id-sorted
+    * merged stream — asserted by IndexSpec against the old sorted-shuffle
+    * path, which survives as [[saltedRunsSortShuffle]]). */
   def saltedRuns(tf: Dataset[ShardPosting], hotDf: Map[String, Long],
                  p: BuildParams, avgdl: Double): Dataset[PostingBlock] = {
     val spark = tf.sparkSession
@@ -296,12 +574,30 @@ object IndexBuild {
     val bcHot = spark.sparkContext.broadcast(hotSalts)
     val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
     tf
+      .mapPartitions(it => partitionRuns(it, bcHot.value))
+      .groupByKey(r => (r.gk, r.term))
+      .flatMapGroups { (key: (Long, String), it: Iterator[PostingRun]) =>
+        mergeRunsEncode((key._1 >>> 32).toInt, key._2, key._1.toInt,
+          it.toArray, blockSize, avgdl, k1, b)
+      }
+  }
+
+  /** The previous row-per-posting salted sort — kept as the parity
+    * reference for [[saltedRuns]] (IndexSpec asserts byte-identical blocks)
+    * and as the head-to-head baseline in `Main profile`. */
+  private[graft] def saltedRunsSortShuffle(
+      tf: Dataset[ShardPosting], hotDf: Map[String, Long],
+      p: BuildParams, avgdl: Double): Dataset[PostingBlock] = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val hotSalts: Map[String, Int] = hotDf.map { case (t, df) =>
+      t -> saltCount(df, p.targetPerSalt)
+    }
+    val bcHot = spark.sparkContext.broadcast(hotSalts)
+    val (k1, b, blockSize) = (p.k1, p.b, p.blockSize)
+    tf
       .groupByKey { pp =>
         val n = bcHot.value.getOrElse(pp.term, 1)
-        // mask the salt: rangeSalt of a NEGATIVE doc_id is negative, and
-        // sign extension would overwrite the shard field (silently merging
-        // hot-term postings across shards). All in-repo producers mask
-        // doc_id non-negative, but saltedRuns is a public API.
         ((pp.shard.toLong << 32) | (rangeSalt(pp.doc_id, n) & 0xFFFFFFFFL), pp.term)
       }
       .mapValues(pp => RunValue(pp.doc_id, (pp.tf.toLong << 32) | pp.dl))

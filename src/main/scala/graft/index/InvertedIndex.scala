@@ -133,7 +133,16 @@ object InvertedIndex {
     val done = committedShards(spark, dir)
     val todo = (0 until p.numShards).filterNot(done)
     if (todo.isEmpty) return 0
-    writeParamsIfAbsent(spark, dir, p)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    // params land ASYNC — nothing in this build reads them back (p is
+    // already reconciled above), and readers only open the index after a
+    // manifest marker exists, which is awaited-before below. Removes a
+    // fixed one-row-parquet Spark job from the critical path.
+    val paramsF = Future(writeParamsIfAbsent(spark, dir, p))
 
     // Never .persist() here: Spark's columnar cache serializer
     // (dictionary/RLE stats per value) costs ~85µs/row on string-heavy data
@@ -163,32 +172,35 @@ object InvertedIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("shard", "smp").parquet(scratch))
     val tokenized = spark.read.parquet(scratch)
 
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-
     // Corpus stats over ALL shards (done + todo) — avgdl must be
     // corpus-global and identical on resume. Todo shards from a column-
     // pruned scratch agg; done shards from their committed corpus rows.
-    // Submitted CONCURRENTLY with the hot-term sample below: both are small
-    // driver-blocking jobs whose wall-clock is dominated by per-job latency,
-    // not compute — overlapping them halves the serial fraction they add.
-    val todoStatsF = Future(phaseTimed("corpus-agg")(tokenized.groupBy($"shard")
-      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-      .as[(Int, Long, Long)].collect()))
+    // The corpus agg and the hot-term sketch (per-term token counts over
+    // the deterministic 1/SampleMod doc sample, scaled back up — Σtf ≥ df
+    // upper-bounds the posting count, which is what salting must bound;
+    // the smp filter partition-prunes to the sample files) are UNIONED
+    // into ONE action: both are small driver-blocking jobs dominated by
+    // per-job scheduling latency, and inside one job their scans run as
+    // independent concurrent stages — one latency instead of two.
+    val comb = phaseTimed("corpus-agg+hot")(
+      tokenized.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        .select(lit(0).as("kind"), $"shard".cast("string").as("k"),
+          $"n_docs", $"sum_dl")
+      .unionAll(tokenized
+        .filter($"smp" === 1) // partition-pruned: reads only the sample files
+        .select(explode($"tokens").as("term"))
+        .groupBy($"term")
+        .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))
+        .filter($"n_per_shard" > p.saltThreshold)
+        .select(lit(1).as("kind"), $"term".as("k"),
+          $"n_per_shard", lit(0L).as("sum_dl")))
+      .as[(Int, String, Long, Long)].collect())
 
-    // Hot-term sketch from the 1/SampleMod doc sample: per-term token counts
-    // (Σtf ≥ df upper-bounds the posting count, which is what salting must
-    // bound), scaled back up. ~|vocab| groups → map-side partial agg.
-    val hotDfF = Future(phaseTimed("hot-term-sample")(tokenized
-      .filter($"smp" === 1) // partition-pruned: reads only the sample files
-      .select(explode($"tokens").as("term"))
-      .groupBy($"term")
-      .agg((count(lit(1)) * SampleMod / todo.size).cast("long").as("n_per_shard"))
-      .filter($"n_per_shard" > p.saltThreshold)
-      .as[(String, Long)].collect().toMap))
-
-    val todoStats = Await.result(todoStatsF, Duration.Inf)
+    val todoStats: Array[(Int, Long, Long)] =
+      comb.collect { case (0, sh, n, sd) => (sh.toInt, n, sd) }
+    val hotDf: Map[String, Long] =
+      comb.collect { case (1, t, n, _) => t -> n }.toMap
     val doneStats: Array[(Int, Long, Long)] =
       if (done.isEmpty) Array.empty
       else spark.read.parquet(s"$dir/corpus")
@@ -197,7 +209,6 @@ object InvertedIndex {
     val nDocs = todoStats.map(_._2).sum + doneStats.map(_._2).sum
     val avgdl = (todoStats.map(_._3).sum + doneStats.map(_._3).sum).toDouble /
       math.max(nDocs, 1L)
-    val hotDf: Map[String, Long] = Await.result(hotDfF, Duration.Inf)
 
     // Per-doc pre-merged (term, tf) postings — one shuffle row per DISTINCT
     // term per doc, not per token instance (IndexBuild.docTermFreqs). There
@@ -233,8 +244,14 @@ object InvertedIndex {
       // at 300k docs the lower bound already exceeds the session default.
       val wavePostings = todoStats.filter(s => wave.contains(s._1)).map(_._3).sum
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // ~0.75M postings per reduce partition: the old ~1.5M bound sized the
+      // row-per-posting SORT's task state; the run-merge reduce holds only
+      // one (term, salt) group's decoded arrays at a time, so the floor is
+      // scheduling granularity, not spill — finer partitions smooth the
+      // 2-waves-of-cores tail (measured below 16 → 32 partitions at 24M
+      // postings / local[8]).
       val rawParts = math.max(math.min(prevShuffle.toLong,
-        (wavePostings + 49999) / 50000L), wavePostings / 1500000L)
+        (wavePostings + 49999) / 50000L), wavePostings / 750000L)
       // Straggler-tail guard (a data-derived count like 21 runs as waves
       // of cores with a fractional last wave — e.g. 21 tasks on 8 cores =
       // 8+8+5, idling 3/8 of the machine for a third of the sort): when
@@ -246,38 +263,30 @@ object InvertedIndex {
         if (rawParts > cores) ((rawParts + cores - 1) / cores) * cores
         else rawParts
       val wavePartitions = math.max(1L, math.min(20000L, balanced)).toInt
+      // AQE partition coalescing must sit out the wave: the run shuffle's
+      // rows are varbyte-COMPRESSED posting runs, so their byte size
+      // underrepresents reduce work (decode + k-way merge + block encode
+      // of ~125 postings per wire byte) by ~2 orders of magnitude, and the
+      // byte-based advisory target coalesces the data-derived partition
+      // count ~8× below the cores (measured: postings-build 13.2 s
+      // coalesced vs 7.6 s at the derived count, 300k docs / local[8]).
+      // The count above IS the data-derived sizing AQE would be trying to
+      // recover. Restored after the wave like the partition count.
+      val prevCoalesce =
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       if (wavePartitions != prevShuffle)
         spark.conf.set("spark.sql.shuffle.partitions", wavePartitions.toString)
-      try phaseTimed("postings-build")(
-        IndexBuild.buildShardPostings(wavePostingsInput(wave), hotDf, p, avgdl)
-          .withColumn("bucket",
-            pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
-          .repartition(col("shard"), col("bucket"))
-          .sortWithinPartitions($"term", $"salt", $"block_id")
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard", "bucket")
-          .parquet(s"$dir/postings"))
-      finally if (wavePartitions != prevShuffle)
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle.toString)
 
-      // stats read the files just written (vectorized scan beats re-running
-      // the build pipeline or caching it). There is deliberately NO separate
-      // termstats table: per-term (df, max_tfsat) is derivable at query time
-      // from posting-block METADATA columns (blocks of a term are doc-range
-      // disjoint, so Σ n_docs = df) with the same bucket-dir + term min-max
-      // pruning the block scan uses — one less corpus-sized table to write,
-      // store, and keep transactionally consistent.
-      val postings = spark.read.parquet(s"$dir/postings")
-        .filter($"shard".isin(wave: _*))
-
-      // docstats: a column-pruned projection of the scratch (tokens column
-      // never read). Dynamic overwrite touches only this wave's shards —
-      // committed shards' files stay put (Iceberg analog: REPLACE
-      // PARTITIONS). Written AFTER postings, BEFORE the manifest marker, so
-      // a mid-wave crash leaves the wave entirely invisible to readers.
-      // The three independent post-postings jobs run CONCURRENTLY (all must
-      // land before the commit marker; their mutual order is irrelevant).
+      // docstats + corpus depend only on the SCRATCH (never on the postings
+      // files), so they are submitted CONCURRENTLY with the postings build:
+      // their small narrow-write tasks back-fill executor slots the
+      // postings job's stage tails leave idle (guide §2.6). Crash safety is
+      // unchanged — the manifest marker below is still written strictly
+      // after every write of the wave has landed, so a mid-wave crash
+      // leaves the wave entirely invisible to readers (Iceberg analog:
+      // REPLACE PARTITIONS + last commit). Both are narrow (no shuffle), so
+      // the wave-scoped shuffle conf above does not affect their plans.
       val docstatsF = Future(phaseTimed("docstats")(
         tokenized.filter($"shard".isin(wave: _*))
           .select($"doc_id", $"url", $"dl".as("doclen"), $"shard")
@@ -294,22 +303,62 @@ object InvertedIndex {
           .partitionBy("shard")
           .parquet(s"$dir/corpus")))
 
-      val statsF = Future(phaseTimed("manifest-stats")(
-        postings.groupBy($"shard").agg(
-          sum($"n_docs").as("rows"), count(lit(1)).as("blocks"),
-          sum(length($"doc_gaps_vb") + length($"tfs_vb") + length($"dls_vb")).as("bytes"))
-          .collect()))
+      try phaseTimed("postings-build")(
+        IndexBuild.buildShardPostings(wavePostingsInput(wave), hotDf, p, avgdl)
+          .withColumn("bucket",
+            pmod(xxhash64($"term"), lit(p.nTermBuckets)).cast("int"))
+          .repartition(col("shard"), col("bucket"))
+          .sortWithinPartitions($"term", $"salt", $"block_id")
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard", "bucket")
+          .parquet(s"$dir/postings"))
+      finally {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+        if (wavePartitions != prevShuffle)
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle.toString)
+      }
 
+      // stats read the files just written (vectorized scan beats re-running
+      // the build pipeline or caching it). There is deliberately NO separate
+      // termstats table: per-term (df, max_tfsat) is derivable at query time
+      // from posting-block METADATA columns (blocks of a term are doc-range
+      // disjoint, so Σ n_docs = df) with the same bucket-dir + term min-max
+      // pruning the block scan uses — one less corpus-sized table to write,
+      // store, and keep transactionally consistent.
+      val postings = spark.read.parquet(s"$dir/postings")
+        .filter($"shard".isin(wave: _*))
+
+      // exact rows/blocks from a scan of the two small metadata columns
+      // only (shard, n_docs — the agg used to reference length(<binary>)
+      // and so re-read every encoded payload byte just written, the
+      // whole table); `bytes` is the shard's on-disk postings size from
+      // the file system (a shard's dir holds exactly its own wave's
+      // files), which is the operationally meaningful size and free.
+      val statsF = Future(phaseTimed("manifest-stats") {
+        val agg = postings.groupBy($"shard").agg(
+          sum($"n_docs").as("rows"), count(lit(1)).as("blocks")).collect()
+        val f = fs(spark, s"$dir/postings")
+        agg.map { r =>
+          val sh = r.getInt(0)
+          val shPath = new org.apache.hadoop.fs.Path(s"$dir/postings/shard=$sh")
+          val bytes =
+            if (f.exists(shPath)) f.getContentSummary(shPath).getLength else 0L
+          (sh, r.getLong(1), r.getLong(2), bytes)
+        }
+      })
+
+      Await.result(paramsF, Duration.Inf)
       Await.result(docstatsF, Duration.Inf)
       Await.result(corpusF, Duration.Inf)
       val stats = Await.result(statsF, Duration.Inf)
 
       // commit markers — written LAST, after every write of the wave landed
       val waveSec = (System.nanoTime() - t0) / 1e9
-      stats.toSeq.map { r =>
-        ManifestRow(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      stats.toSeq.map { case (sh, rows, blocks, bytes) =>
+        ManifestRow(sh, rows, blocks, bytes,
           committed = true,
-          s"shard=${r.getInt(0)} wave=${wave.mkString(",")} params=$p " +
+          s"shard=$sh wave=${wave.mkString(",")} params=$p " +
             s"avgdl=$avgdl hotTerms=${hotDf.size} wave_sec=$waveSec")
       }.toDS().write.mode(SaveMode.Append).parquet(manifestPath(dir))
       built += wave.size

@@ -215,6 +215,36 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("SPIMI run shuffle emits byte-identical blocks to the sorted-shuffle" +
+    " path (salted, multi-shard, instance-level duplicates across partitions)") {
+    import graft.index.ShardPosting
+    // adversarial feed: 3 shards, a hot term ("hot") fanning out to many
+    // range salts, and INSTANCE-level rows (tf=1 per occurrence) with the
+    // same (term, doc) repeated — split across partitions by a round-robin
+    // repartition so the k-way merge must combine equal doc_ids across runs
+    val rows = (0L until 3000L).flatMap { i =>
+      val docId = (i * 0x9E3779B97F4A7C15L) & Long.MaxValue
+      val shard = (docId % 3).toInt
+      val dl = 3 + (i % 7).toInt
+      val hot = Seq.fill(1 + (i % 3).toInt)(
+        ShardPosting(shard, "hot", docId, 1, dl))
+      val cold = Seq(ShardPosting(shard, s"w${i % 97}", docId, 1, dl),
+        ShardPosting(shard, s"w${(i * 31) % 97}", docId, 1, dl))
+      hot ++ cold
+    }
+    val feed = rows.toDS().repartition(7)
+    val hotDf = Map("hot" -> 3000L)
+    val p = BuildParams(numShards = 3, blockSize = 8,
+      saltThreshold = 50, targetPerSalt = 100)
+    def canon(ds: org.apache.spark.sql.Dataset[graft.index.PostingBlock]) =
+      ds.collect().map(b => (b.shard, b.term, b.salt, b.block_id,
+        b.first_doc, b.last_doc, b.n_docs, b.max_tf, b.max_tfsat,
+        b.doc_gaps_vb.toSeq, b.tfs_vb.toSeq, b.dls_vb.toSeq)).toSet
+    val fast = canon(IndexBuild.saltedRuns(feed, hotDf, p, 5.0))
+    val ref = canon(IndexBuild.saltedRunsSortShuffle(feed, hotDf, p, 5.0))
+    assert(fast.nonEmpty && fast == ref)
+  }
+
   test("hot-term sample scan partition-prunes to the smp=1 files") {
     // replicate the build's scratch shape (tokenize step writes
     // partitionBy(shard, smp); the sketch job filters smp === 1): the
