@@ -459,12 +459,16 @@ object IndexBuild {
         blockSize, avgdl, k1, b)
 
     val pos = new Array[Int](k)
-    // min-heap of run indices keyed by current doc_id
+    // min-heap of run indices keyed by current doc_id; indices are boxed
+    // ONCE here (Integer.valueOf only caches ≤127, and a hot term's group
+    // can hold one run per map partition — re-boxing on every re-add would
+    // allocate per posting)
+    val boxed = Array.tabulate[Integer](k)(Integer.valueOf)
     val heap = new java.util.PriorityQueue[Integer](math.max(1, k),
       (a: Integer, b2: Integer) => java.lang.Long.compare(
         rd(a.intValue())(pos(a.intValue())), rd(b2.intValue())(pos(b2.intValue()))))
     i = 0
-    while (i < k) { if (rd(i).nonEmpty) heap.add(i); i += 1 }
+    while (i < k) { if (rd(i).nonEmpty) heap.add(boxed(i)); i += 1 }
 
     new Iterator[PostingBlock] {
       private val docs = new Array[Long](blockSize)
@@ -482,14 +486,14 @@ object IndexBuild {
           var tf = rt(r)(pos(r)).toInt
           val dl = rl(r)(pos(r)).toInt
           pos(r) += 1
-          if (pos(r) < rd(r).length) heap.add(r)
+          if (pos(r) < rd(r).length) heap.add(boxed(r))
           // merge the same doc_id surfacing from any run
           var top = heap.peek()
           while (top != null && rd(top.intValue())(pos(top.intValue())) == docId) {
             r = heap.poll().intValue()
             tf += rt(r)(pos(r)).toInt
             pos(r) += 1
-            if (pos(r) < rd(r).length) heap.add(r)
+            if (pos(r) < rd(r).length) heap.add(boxed(r))
             top = heap.peek()
           }
           docs(n) = docId; tfs(n) = tf.toLong; dls(n) = dl.toLong
