@@ -38,9 +38,10 @@ object Main {
     case "build" :: dir :: n :: rest =>
       val seed = rest.headOption.map(_.toLong).getOrElse(42L)
       val shards = rest.drop(1).headOption.map(_.toInt).getOrElse(4)
+      val waves = rest.drop(2).headOption.map(_.toInt).getOrElse(0)
       val t0 = System.nanoTime()
       val built = InvertedIndex.build(spark, Synth.pages(spark, n.toLong, seed),
-        dir, BuildParams(numShards = shards))
+        dir, BuildParams(numShards = shards, waveShards = waves))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"built $built shards over $n docs in $sec%.2f s " +
         f"(${n.toLong / math.max(sec, 1e-9)}%.0f docs/sec)")
